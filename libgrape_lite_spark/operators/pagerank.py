@@ -1,0 +1,134 @@
+"""PageRank — LDBC formulation, exact semantics of the reference app.
+
+Reference (examples/analytical_apps/pagerank/pagerank.h:52-219 +
+pagerank_context.h:30-92), replicated step for step:
+
+* ``p = 1/|V|``; iterating state stores rank ÷ out-degree:
+  ``r0[u] = outdeg(u) > 0 ? p/outdeg : p`` (pagerank.h:70-81).
+* ``dangling_sum = p * #dangling`` (pagerank.h:83-88).
+* each of ``max_round`` rounds (pagerank.h:107-109, 159-195):
+    base          = (1-d)/|V| + d * dangling_sum / |V|
+    dangling_sum' = base * #dangling
+    gathered[u]   = Σ_{(u,v) ∈ E} r[v]         # pull along OUT-adjacency
+    r'[u]         = outdeg > 0 ? (d*gathered + base)/outdeg : base
+* after the last round multiply back ``r[u] *= outdeg(u)`` for
+  non-dangling vertices (pagerank.h:202-214).
+
+Note the gather runs over the vertex's **out**-adjacency (pagerank.h:124,
+185-188) — on the undirected doubled table that's all neighbors; on a
+directed graph this is the reference's (golden-producing) behavior and we
+match it as-is.
+
+Stop rules: fixed ``max_rounds`` (LDBC/golden parity, default 10 =
+``--pr_mr``) AND optional ``tol`` — stop early when max|Δ(final-scale
+rank)| < tol (the north rule's 1e-6 convergence criterion), whichever
+first.
+
+Spark plan per superstep: one join (edges ⋈ ranks on dst) + one shuffle
+groupBy(src).sum — map-side partial sums are the analog of the reference's
+per-fragment combine. ``base``/``dangling_sum`` are driver scalars like the
+reference's ``Sum()`` AllReduce (communicator.h:99-113). The degree column
+rides inside the state DataFrame so no extra join per round.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libgrape_lite_spark.functions.edges import out_degrees, undirected
+from libgrape_lite_spark.plans.superstep import IterationDriver
+
+
+def pagerank(
+    vertices: DataFrame,
+    edges: DataFrame,
+    damping: float = 0.85,
+    max_rounds: int = 10,
+    directed: bool = False,
+    tol: float | None = None,
+    driver: IterationDriver | None = None,
+) -> DataFrame:
+    """Returns DataFrame(id: long, rank: double)."""
+    spark = vertices.sparkSession
+    drv = driver or IterationDriver(spark)
+
+    adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
+    adj = adj.localCheckpoint(eager=True)
+
+    n = vertices.count()
+    p = 1.0 / n
+    d = damping
+
+    deg = out_degrees(adj, vertices)  # counts parallel edges (GetLocalOutDegree)
+    state = deg.select(
+        "id",
+        "degree",
+        F.when(F.col("degree") > 0, p / F.col("degree")).otherwise(p).alias("r"),
+    )
+    step = 0
+    resumed = drv.latest_checkpoint()
+    if resumed is not None:
+        state, step = resumed
+    else:
+        state = drv.materialize(state, step)
+    n_dangling = state.where(F.col("degree") == 0).count()
+    dangling_sum = p * n_dangling
+    # replay the driver-side scalar recurrence up to the resumed superstep
+    for _ in range(step):
+        base = (1.0 - d) / n + d * dangling_sum / n
+        dangling_sum = base * n_dangling
+
+    while step < max_rounds:
+        t0 = time.time()
+        step += 1
+        base = (1.0 - d) / n + d * dangling_sum / n
+        dangling_sum = base * n_dangling
+
+        gathered = (
+            adj.join(
+                state.select(F.col("id").alias("dst"), "r"), "dst"
+            )
+            .groupBy(F.col("src").alias("id"))
+            .agg(F.sum("r").alias("gathered"))
+        )
+        new_state = (
+            state.select("id", "degree", F.col("r").alias("prev_r"))
+            .join(gathered, "id", "left")
+            .select(
+                "id",
+                "degree",
+                F.when(
+                    F.col("degree") > 0,
+                    (d * F.coalesce("gathered", F.lit(0.0)) + base) / F.col("degree"),
+                )
+                .otherwise(base)
+                .alias("r"),
+                "prev_r",
+            )
+        )
+        state = drv.materialize(new_state, step)
+
+        if tol is not None:
+            # convergence on final-scale ranks: |Δ(r*deg)| for non-dangling,
+            # |Δr| for dangling (degree multiplier applied at output)
+            scale = F.when(F.col("degree") > 0, F.col("degree")).otherwise(F.lit(1.0))
+            max_delta = state.select(
+                F.max(F.abs((F.col("r") - F.col("prev_r")) * scale)).alias("md")
+            ).collect()[0]["md"]
+            drv.log(step, n, time.time() - t0, op="pagerank", max_delta=max_delta)
+            if max_delta is not None and max_delta < tol:
+                break
+        else:
+            drv.log(step, n, time.time() - t0, op="pagerank")
+
+    drv.finish()
+    # multiply back by degree for non-dangling (pagerank.h:202-214)
+    return state.select(
+        "id",
+        F.when(F.col("degree") > 0, F.col("r") * F.col("degree"))
+        .otherwise(F.col("r"))
+        .alias("rank"),
+    )

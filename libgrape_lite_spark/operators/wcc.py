@@ -1,0 +1,90 @@
+"""WCC — weakly connected components via hash-min label propagation.
+
+Semantics of the reference app (examples/analytical_apps/wcc/wcc.h:38-228):
+component label starts as the vertex id (wcc.h:140-153), every round each
+vertex takes ``min(own, min over neighbors)`` (push wcc.h:95-125 / pull
+wcc.h:50-91 — identical fixpoint), runs on the undirected (doubled) edge
+table, terminates when no label changed (wcc.h:158-163; Spark analog:
+``active == 0`` on the changed-delta count). Component id at fixpoint =
+min vertex id of the component; the golden comparator only checks up to
+relabeling (misc/wcc_check.cc:28-71).
+
+Spark plan per superstep (one shuffle + one join, evaluated ONCE):
+    nbr_min = edges ⋈ comp on src → groupBy(dst).min(comp)   # message pass
+    comp'   = comp ⟕ nbr_min → least(comp, nbr_min)           # apply
+The superstep state is localCheckpoint-ed eagerly, then the changed-count
+(termination test == the reference's global message count,
+default_message_manager.h:324-350) is a cheap count over the cached copy.
+Map-side partial aggregation in the groupBy is the analog of per-fragment
+message dedup (SURVEY.md §2.4); AQE skew-join handles hub vertices.
+
+Scale note: hash-min converges in O(diameter) rounds; for very-high-diameter
+graphs the classic escape hatch is large-star/small-star (Kiveris et al.,
+"Connected Components in MapReduce and Beyond", SoCC'14) — not needed for
+link graphs whose diameter is small, documented as the upgrade path.
+"""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libgrape_lite_spark.functions.edges import undirected
+from libgrape_lite_spark.plans.superstep import IterationDriver
+
+
+def wcc(
+    vertices: DataFrame,
+    edges: DataFrame,
+    driver: IterationDriver | None = None,
+    max_rounds: int | None = None,
+) -> DataFrame:
+    """Returns DataFrame(id: long, comp: long).
+
+    ``vertices(id)``, ``edges(src, dst, ...)`` — direction ignored
+    (undirected doubling applied internally, SURVEY.md §1.4).
+    """
+    spark = vertices.sparkSession
+    drv = driver or IterationDriver(spark)
+
+    # Both directions once; parallel edges/self-loops add nothing to a
+    # min-aggregate, so dedup shrinks every subsequent shuffle.
+    adj = (
+        undirected(edges.select("src", "dst"))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=True)
+    )
+
+    resumed = drv.latest_checkpoint()
+    if resumed is not None:
+        state, step = resumed
+        state = state.select("id", "comp")
+    else:
+        step = 0
+        state = drv.materialize(vertices.select("id", F.col("id").alias("comp")), step)
+
+    while max_rounds is None or step < max_rounds:
+        t0 = time.time()
+        step += 1
+        comp = state.select("id", "comp")
+        nbr_min = (
+            adj.join(comp.withColumnRenamed("id", "src"), "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        new_state = comp.join(nbr_min, "id", "left").select(
+            "id",
+            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+            (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+        )
+        state = drv.materialize(new_state, step)
+        active = state.where("changed").count()
+        drv.log(step, active, time.time() - t0, op="wcc")
+        if active == 0:
+            break
+
+    drv.finish()
+    return state.select("id", "comp")

@@ -1,0 +1,162 @@
+"""The superstep loop: libgrape-lite's ``Worker::Query`` re-expressed.
+
+Reference lifecycle (grape/worker/worker.h:87-133): ``ctx.Init`` → ``PEval``
+→ repeat ``IncEval`` until the message manager's global
+count-of-messages-sent is zero (default_message_manager.h:324-350). Here:
+
+* one superstep  = one Spark job over the state DataFrame,
+* termination    = ``active == 0`` (the count of the delta DataFrame — the
+  exact Spark analog of "no worker sent any message"),
+* ``ForceContinue`` = the operator returning ``active > 0`` explicitly,
+* per-round logging (worker.h:106-127) = the lineage/metrics rows this
+  driver records per superstep and writes to a table.
+
+Two scale-critical responsibilities the reference gets for free from
+mutable arrays but Spark does not:
+
+1. **Lineage truncation** (SURVEY.md §4.13): every materialized superstep
+   state is persisted and its plan cut (localCheckpoint), otherwise the
+   logical plan doubles per iteration and the driver OOMs around step ~30.
+2. **Resumability** (north rule): every ``checkpoint_every`` supersteps the
+   state DataFrame is written to ``<checkpoint_dir>/<run>/step=<k>`` as
+   parquet (stand-in for an Iceberg table — same layout, transactional
+   commit via _SUCCESS marker). ``resume()`` restarts a killed run from the
+   max committed superstep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class SuperstepMetric:
+    run_id: str
+    superstep: int
+    active: int
+    t_ms: float
+    extra: dict = field(default_factory=dict)
+
+
+class IterationDriver:
+    """Owns materialization, termination bookkeeping, checkpoints, metrics.
+
+    Usage inside an operator::
+
+        drv = driver or IterationDriver(spark)
+        state = drv.materialize(init_state, step=0)
+        while True:
+            t0 = time.time()
+            new_state, active = one_superstep(state)
+            state = drv.materialize(new_state, step)
+            drv.log(step, active, time.time() - t0)
+            if active == 0:
+                break
+        drv.finish()
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        run_id: str | None = None,
+        checkpoint_dir: str | None = None,
+        checkpoint_every: int = 5,
+        metrics_path: str | None = None,
+        verbose: bool = False,
+    ) -> None:
+        self.spark = spark
+        self.run_id = run_id or uuid.uuid4().hex[:12]
+        self.checkpoint_dir = checkpoint_dir
+        self.checkpoint_every = max(1, checkpoint_every)
+        self.metrics_path = metrics_path
+        self.verbose = verbose
+        self.metrics: list[SuperstepMetric] = []
+        self._persisted: list[DataFrame] = []
+
+    # -- state materialization -------------------------------------------
+    def materialize(self, df: DataFrame, step: int) -> DataFrame:
+        """Persist + cut lineage; optionally commit a resumable checkpoint.
+
+        ``localCheckpoint(eager=True)`` stores the partitions on executors
+        and truncates the logical plan. On a real cluster with unreliable
+        executors, the parquet checkpoint below is the durable copy.
+        """
+        out = df.localCheckpoint(eager=True)
+        self._gc(keep=out)
+        if self.checkpoint_dir and step % self.checkpoint_every == 0:
+            self._commit_checkpoint(out, step)
+        return out
+
+    def _gc(self, keep: DataFrame) -> None:
+        for old in self._persisted:
+            try:
+                old.unpersist()
+            except Exception:
+                pass
+        self._persisted = [keep]
+
+    def _step_path(self, step: int) -> str:
+        return os.path.join(self.checkpoint_dir, self.run_id, f"step={step}")
+
+    def _commit_checkpoint(self, df: DataFrame, step: int) -> None:
+        df.write.mode("overwrite").parquet(self._step_path(step))
+
+    # -- resume ------------------------------------------------------------
+    def latest_checkpoint(self) -> tuple[DataFrame, int] | None:
+        """(state, superstep) of the max committed checkpoint, or None.
+
+        A checkpoint counts as committed only if parquet's _SUCCESS marker
+        exists — the kill-resume guarantee (north rule)."""
+        if not self.checkpoint_dir:
+            return None
+        base = os.path.join(self.checkpoint_dir, self.run_id)
+        if not os.path.isdir(base):
+            return None
+        steps = []
+        for name in os.listdir(base):
+            if name.startswith("step=") and os.path.exists(
+                os.path.join(base, name, "_SUCCESS")
+            ):
+                steps.append(int(name.split("=", 1)[1]))
+        if not steps:
+            return None
+        step = max(steps)
+        return self.spark.read.parquet(self._step_path(step)), step
+
+    # -- metrics / lineage --------------------------------------------------
+    def log(self, superstep: int, active: int, t_sec: float, **extra) -> None:
+        m = SuperstepMetric(self.run_id, superstep, int(active), t_sec * 1000.0, extra)
+        self.metrics.append(m)
+        if self.verbose:
+            print(
+                f"[{self.run_id}] superstep={superstep} active={active} "
+                f"t={t_sec * 1000.0:.1f}ms {extra or ''}"
+            )
+
+    def finish(self) -> None:
+        """Write per-superstep lineage metrics (run_id, superstep, active,
+        t_ms, extra) — the 'per-partition lineage + metrics to Iceberg'
+        requirement; parquet stands in for Iceberg in this sandbox."""
+        if not self.metrics_path or not self.metrics:
+            return
+        rows = [
+            (m.run_id, m.superstep, m.active, m.t_ms, json.dumps(m.extra))
+            for m in self.metrics
+        ]
+        (
+            self.spark.createDataFrame(
+                rows, "run_id string, superstep int, active long, t_ms double, extra string"
+            )
+            .write.mode("append")
+            .parquet(self.metrics_path)
+        )
+
+
+def timed() -> float:
+    return time.time()

@@ -1,0 +1,53 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference engine sizes its thread pool from MPI world size
+(``grape/parallel/parallel_engine_spec.h:37-49``); here the equivalents are
+the master's core count and ``spark.sql.shuffle.partitions``. AQE is enabled
+so skewed shuffle partitions (hub vertices) are split at runtime — the Spark
+analog of the reference's ``Rebalancer`` (``grape/fragment/rebalancer.h``).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "libgrape_lite_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for iterative graph analytics.
+
+    Scale notes (these matter at 100 TB, are harmless on local[32]):
+
+    * AQE + skew-join handling: hub vertices produce skewed shuffle
+      partitions during the message-combine ``groupBy``; AQE splits them.
+    * ``spark.sql.adaptive.coalescePartitions``: supersteps late in a
+      frontier algorithm (BFS/SSSP) carry tiny frontiers — AQE coalesces
+      the near-empty shuffle partitions instead of scheduling N empty tasks.
+    * Arrow enabled for every pandas-UDF kernel (no per-row Python).
+    """
+    master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[*]")
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(cpus) if cpus else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

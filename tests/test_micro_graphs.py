@@ -1,0 +1,154 @@
+"""Hand-computed micro-graph fixtures (FIXTURES.md §4)."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from tests.conftest import make_edges, make_vertices
+
+
+def as_dict(df, key="id"):
+    rows = df.collect()
+    (vcol,) = [c for c in df.columns if c != key]
+    return {r[key]: r[vcol] for r in rows}
+
+
+# ---------------------------------------------------------------- chain5
+def test_chain5_bfs_sssp_wcc(spark):
+    from libgrape_lite_spark.operators import bfs, sssp, wcc
+
+    v = make_vertices(spark, [1, 2, 3, 4, 5])
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5)])
+
+    assert as_dict(bfs(v, e, source=1)) == {1: 0, 2: 1, 3: 2, 4: 3, 5: 4}
+    assert as_dict(sssp(v, e, source=1)) == {1: 0.0, 2: 1.0, 3: 2.0, 4: 3.0, 5: 4.0}
+    assert as_dict(wcc(v, e)) == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1}
+
+
+def test_chain5_directed_unreachable(spark):
+    from libgrape_lite_spark.operators import bfs, sssp
+    from libgrape_lite_spark.operators.bfs import INT64_MAX
+
+    v = make_vertices(spark, [1, 2, 3])
+    e = make_edges(spark, [(2, 3)])
+    d = as_dict(bfs(v, e, source=2, directed=True))
+    assert d == {1: INT64_MAX, 2: 0, 3: 1}
+    s = as_dict(sssp(v, e, source=2, directed=True))
+    assert s[1] == math.inf and s[2] == 0.0 and s[3] == 1.0
+
+
+# ------------------------------------------------- triangle_plus_tail LCC
+def test_triangle_plus_tail_lcc(spark):
+    from libgrape_lite_spark.operators import lcc
+
+    v = make_vertices(spark, [1, 2, 3, 4])
+    e = make_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4)])
+    got = as_dict(lcc(v, e))
+    assert got[1] == pytest.approx(1.0)
+    assert got[2] == pytest.approx(1.0)
+    assert got[3] == pytest.approx(1.0 / 3.0)
+    assert got[4] == 0.0
+
+
+# ------------------------------------------------------- two components
+def test_two_components_wcc(spark):
+    from libgrape_lite_spark.operators import wcc
+
+    v = make_vertices(spark, [1, 2, 3, 4])
+    e = make_edges(spark, [(1, 2), (3, 4)])
+    assert as_dict(wcc(v, e)) == {1: 1, 2: 1, 3: 3, 4: 3}
+
+
+# ------------------------------------------------------------- star hub
+def test_star_hub_cdlp_oscillation(spark):
+    from libgrape_lite_spark.operators import cdlp
+
+    n_leaves = 20
+    v = make_vertices(spark, range(0, n_leaves + 1))
+    e = make_edges(spark, [(0, i) for i in range(1, n_leaves + 1)])
+    # round 1: leaves adopt hub's 0; hub ties on {1..20} → smallest = 1
+    got1 = as_dict(cdlp(v, e, max_rounds=1))
+    assert got1[0] == 1
+    assert all(got1[i] == 0 for i in range(1, n_leaves + 1))
+    # even round count → leaves 1, hub 0 (strict 2-cycle)
+    got10 = as_dict(cdlp(v, e, max_rounds=10))
+    assert got10[0] == 0
+    assert all(got10[i] == 1 for i in range(1, n_leaves + 1))
+
+
+# ------------------------------------------------------ parallel edges
+def test_parallel_edges_cdlp_multiplicity(spark):
+    from libgrape_lite_spark.operators import cdlp
+
+    # vertex 3 sees label 1 once and label 2 twice (parallel edge) →
+    # majority 2; a set-semantics (wrong) implementation would tie → 1
+    v = make_vertices(spark, [1, 2, 3])
+    e = make_edges(spark, [(1, 3), (2, 3), (2, 3)])
+    got = as_dict(cdlp(v, e, max_rounds=1))
+    assert got[3] == 2
+
+
+# ----------------------------------------------------------- self loop
+def test_self_loop_degree_and_wcc(spark):
+    from libgrape_lite_spark.functions.edges import out_degrees, undirected
+    from libgrape_lite_spark.operators import wcc
+
+    v = make_vertices(spark, [1, 2])
+    e = make_edges(spark, [(1, 1), (1, 2)])
+    deg = as_dict(out_degrees(undirected(e), v))
+    assert deg == {1: 3, 2: 1}  # self-loop doubled → [1,1,2]
+    assert as_dict(wcc(v, e)) == {1: 1, 2: 1}
+
+
+# ------------------------------------------------------------ dangling PR
+def _pagerank_oracle(n, out_deg, adj_out, d=0.85, rounds=10):
+    """NumPy-free reference recurrence (pagerank.h:52-219)."""
+    p = 1.0 / n
+    r = {u: (p / out_deg[u] if out_deg[u] > 0 else p) for u in out_deg}
+    n_dangling = sum(1 for u in out_deg if out_deg[u] == 0)
+    dangling_sum = p * n_dangling
+    for _ in range(rounds):
+        base = (1 - d) / n + d * dangling_sum / n
+        dangling_sum = base * n_dangling
+        new = {}
+        for u in out_deg:
+            gathered = sum(r[v] for v in adj_out.get(u, []))
+            new[u] = (d * gathered + base) / out_deg[u] if out_deg[u] > 0 else base
+        r = new
+    return {u: (r[u] * out_deg[u] if out_deg[u] > 0 else r[u]) for u in out_deg}
+
+
+def test_dangling_pagerank_directed(spark):
+    from libgrape_lite_spark.operators import pagerank
+
+    v = make_vertices(spark, [1, 2, 3])
+    e = make_edges(spark, [(1, 2), (3, 2)])  # 2 is dangling
+    got = as_dict(pagerank(v, e, directed=True, max_rounds=10))
+    want = _pagerank_oracle(
+        3, {1: 1, 2: 0, 3: 1}, {1: [2], 3: [2]}, rounds=10
+    )
+    for u in want:
+        assert got[u] == pytest.approx(want[u], rel=1e-12), u
+
+
+def test_pagerank_undirected_sums_to_one(spark):
+    from libgrape_lite_spark.operators import pagerank
+
+    v = make_vertices(spark, [1, 2, 3, 4])
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    got = as_dict(pagerank(v, e, max_rounds=10))
+    assert sum(got.values()) == pytest.approx(1.0, rel=1e-9)
+
+
+def test_pagerank_convergence_stop(spark):
+    from libgrape_lite_spark.operators import pagerank
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    v = make_vertices(spark, [1, 2, 3, 4])
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4)])
+    drv = IterationDriver(spark)
+    pagerank(v, e, max_rounds=200, tol=1e-6, driver=drv)
+    assert 0 < len(drv.metrics) < 200  # stopped early on tol
+    assert drv.metrics[-1].extra["max_delta"] < 1e-6
