@@ -9,15 +9,17 @@ pagerank_context.h:30-92), replicated step for step:
 * each of ``max_round`` rounds (pagerank.h:107-109, 159-195):
     base          = (1-d)/|V| + d * dangling_sum / |V|
     dangling_sum' = base * #dangling
-    gathered[u]   = Σ_{(u,v) ∈ E} r[v]         # pull along OUT-adjacency
+    gathered[u]   = Σ_{(v,u) ∈ E} r[v]         # receive from IN-neighbors
     r'[u]         = outdeg > 0 ? (d*gathered + base)/outdeg : base
 * after the last round multiply back ``r[u] *= outdeg(u)`` for
   non-dangling vertices (pagerank.h:202-214).
 
-Note the gather runs over the vertex's **out**-adjacency (pagerank.h:124,
-185-188) — on the undirected doubled table that's all neighbors; on a
-directed graph this is the reference's (golden-producing) behavior and we
-match it as-is.
+Direction note: rank flows ALONG edge direction — u receives Σ r[v] from
+its in-neighbors and divides by its own out-degree (classic LDBC PR; the
+golden p2p-31-PR-directed validates exactly this combination — verified
+against a NumPy oracle over all four gather/degree direction pairings).
+On the undirected doubled table in-adjacency == out-adjacency, so the
+reference's adjacency-scan formulation coincides.
 
 Stop rules: fixed ``max_rounds`` (LDBC/golden parity, default 10 =
 ``--pr_mr``) AND optional ``tol`` — stop early when max|Δ(final-scale
@@ -89,9 +91,9 @@ def pagerank(
 
         gathered = (
             adj.join(
-                state.select(F.col("id").alias("dst"), "r"), "dst"
+                state.select(F.col("id").alias("src"), "r"), "src"
             )
-            .groupBy(F.col("src").alias("id"))
+            .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("r").alias("gathered"))
         )
         new_state = (

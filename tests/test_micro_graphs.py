@@ -103,8 +103,10 @@ def test_self_loop_degree_and_wcc(spark):
 
 
 # ------------------------------------------------------------ dangling PR
-def _pagerank_oracle(n, out_deg, adj_out, d=0.85, rounds=10):
-    """NumPy-free reference recurrence (pagerank.h:52-219)."""
+def _pagerank_oracle(n, out_deg, adj_in, d=0.85, rounds=10):
+    """Scalar reference recurrence (pagerank.h:52-219; rank flows along
+    edge direction — u gathers r from its IN-neighbors, divides by its
+    own out-degree — the combination the directed golden validates)."""
     p = 1.0 / n
     r = {u: (p / out_deg[u] if out_deg[u] > 0 else p) for u in out_deg}
     n_dangling = sum(1 for u in out_deg if out_deg[u] == 0)
@@ -114,7 +116,7 @@ def _pagerank_oracle(n, out_deg, adj_out, d=0.85, rounds=10):
         dangling_sum = base * n_dangling
         new = {}
         for u in out_deg:
-            gathered = sum(r[v] for v in adj_out.get(u, []))
+            gathered = sum(r[v] for v in adj_in.get(u, []))
             new[u] = (d * gathered + base) / out_deg[u] if out_deg[u] > 0 else base
         r = new
     return {u: (r[u] * out_deg[u] if out_deg[u] > 0 else r[u]) for u in out_deg}
@@ -127,7 +129,7 @@ def test_dangling_pagerank_directed(spark):
     e = make_edges(spark, [(1, 2), (3, 2)])  # 2 is dangling
     got = as_dict(pagerank(v, e, directed=True, max_rounds=10))
     want = _pagerank_oracle(
-        3, {1: 1, 2: 0, 3: 1}, {1: [2], 3: [2]}, rounds=10
+        3, {1: 1, 2: 0, 3: 1}, {2: [1, 3]}, rounds=10
     )
     for u in want:
         assert got[u] == pytest.approx(want[u], rel=1e-12), u
