@@ -1,0 +1,147 @@
+"""Similarity primitives: minhash, simhash, cosine — vectorized, portable.
+
+MinHash/SimHash use the portable md5-based h64 (functions/text.py) so the
+DuckDB oracle reproduces signatures exactly. Cosine uses higher-order array
+functions (``aggregate``/``zip_with``) — JVM-side, no Python UDF.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from libgrape_lite_spark.functions.text import h64, shingles, tokens
+
+
+def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) -> Column:
+    """array<long> of length ``num_hashes``: sig[i] = min over shingles of
+    h64(i || ':' || shingle). Empty shingle set → nulls (filtered upstream).
+
+    Seeded-hash family via prefix-tagging one base hash — the standard
+    trick; identical in SQL: min(h64(CAST(i AS STRING)||':'||sh)).
+
+    NOTE: expression form — fine for few hashes/short docs. The scale path
+    is :func:`minhash_signatures` (explode + groupBy with map-side combine),
+    which avoids quadratic expression expansion in codegen.
+    """
+    sh = shingles(text, shingle_n)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(sh, lambda s: h64(F.concat(i.cast("string"), F.lit(":"), s)))
+        ),
+    )
+
+
+def minhash_signatures(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """(id, sig: array<long>) — DataFrame-level minhash.
+
+    Plan: explode distinct shingles → ``groupBy(id).agg(min(h_i) ...)`` —
+    one shuffle, each of the ``num_hashes`` mins partially aggregated
+    map-side. Documents with no shingles are dropped (no signature).
+    """
+    ex = docs.select(
+        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
+    )
+    mins = [
+        F.min(h64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    agg = ex.groupBy("id").agg(*mins)
+    return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
+
+
+def minhash_bands(sig: Column, bands: int, rows: int) -> Column:
+    """array<struct<band int, key long>> — LSH banding: one 60-bit key per
+    band = h64 of the band's concatenated signature values."""
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(bands - 1)),
+        lambda b: F.struct(
+            b.cast("int").alias("band"),
+            h64(F.concat_ws(",", F.slice(sig, b * rows + 1, rows))).alias("key"),
+        ),
+    )
+
+
+def simhash16(text: Column) -> Column:
+    """16-bit SimHash over distinct whitespace tokens: bit j of the result
+    is 1 iff Σ_tokens (2*bit_j(h64(token)) - 1) > 0."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    hashes = F.transform(toks, h64)
+
+    def bit_sum(j: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + (F.shiftright(h, j).bitwiseAND(F.lit(1)) * 2 - 1).cast("int"),
+        )
+
+    out = F.lit(0)
+    for j in range(16):
+        out = out + F.when(bit_sum(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return out.cast("long")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Σ a[i]*b[i] in array order (JVM fold — matches DuckDB's
+    list_dot_product accumulation order on doubles)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def jaccard_pairs(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    shingle_n: int = 3, threshold: float = 0.1,
+) -> DataFrame:
+    """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
+
+    Plan: explode distinct shingles → self-join on shingle (only co-shingled
+    pairs materialize — the sparse analog of a full cross join) → count
+    intersection → Jaccard = |∩| / (|A|+|B|-|∩|). At 100 TB this is the
+    verification stage AFTER LSH candidate generation (operators/dedup.py);
+    standing alone it is exact and still never builds the dense pair matrix.
+    """
+    base = docs.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    a = ex.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "s")
+    b = ex.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "s")
+    inter = (
+        a.join(b, "s")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias(
+                "jaccard"
+            ),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

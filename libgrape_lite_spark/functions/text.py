@@ -1,0 +1,112 @@
+"""Text-analysis functions for training-data pipelines over `documents`.
+
+All built from JVM-side ``pyspark.sql.functions`` (whole-stage codegen, no
+Python in the hot path) and all deterministic + ANSI-SQL-reproducible so the
+DuckDB oracle can verify them bit-for-bit.
+
+Portable 60-bit hash: ``h64(s) = int(md5(s)[:15], 16)`` — md5 exists in both
+Spark and DuckDB with identical semantics; 15 hex chars keep it positive in
+an int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword vocabularies for the n-gram/stopword language
+# heuristic. Deliberately small and hard-coded: deterministic, SQL-expressible.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is", "that"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein", "zu"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "zh": ("的", "是", "在", "了", "和", "有", "我", "不"),
+}
+
+TOKEN_REGEX = "[a-z0-9]+"  # BPE-ish word pieces; shared with the oracle
+
+
+def h64(col: Column) -> Column:
+    """Portable deterministic 60-bit hash of a string column."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens (empty tokens removed)."""
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of regex word-pieces — the 'token estimate' a BPE tokenizer
+    would produce, without shipping a vocab (north-rule: no external data)."""
+    return F.regexp_count(F.lower(text), F.lit(TOKEN_REGEX))
+
+
+def _isin_filter(words: tuple[str, ...]):
+    # single-arg lambda factory: a two-arg lambda (e.g. with a default arg)
+    # would be interpreted by F.filter as the (element, index) variant
+    return lambda t: t.isin(*words)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = LANG_STOPWORDS[lang]
+    toks = tokens(F.lower(text))
+    hits = F.size(F.filter(toks, lambda t: t.isin(*words)))
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(0.0)
+
+
+def quality_score(text: Column) -> Column:
+    """Length/stopword heuristic quality in [0,1]: long-enough documents
+    with natural stopword density score high; vectorized, SQL-parity."""
+    n_tok = token_count(text)
+    sw = stopword_ratio(text)
+    return F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(64.0)) * (F.lit(0.5) + F.lit(0.5) * sw), 6
+    )
+
+
+def lang_scores(text: Column) -> list[tuple[str, Column]]:
+    toks = tokens(F.lower(text))
+    out = []
+    for lang, words in LANG_STOPWORDS.items():
+        hits = F.size(F.filter(toks, _isin_filter(words)))
+        out.append((lang, hits))
+    return out
+
+
+def lang_id(text: Column) -> Column:
+    """Argmax language by stopword hits, ties → lexicographically smallest
+    language code; 'und' when no hits at all."""
+    scores = lang_scores(text)
+    best = None
+    for lang, s in sorted(scores):
+        pair = F.struct(s.alias("hits"), F.lit(lang).alias("lang"))
+        best = pair if best is None else F.when(s > best["hits"], pair).otherwise(best)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of whitespace-normalized lowercase text,
+    first 16 hex chars — a deterministic stand-in for a rolling-hash
+    fingerprint that both engines reproduce."""
+    normalized = F.lower(F.trim(F.regexp_replace(text, r"\s+", " ")))
+    return F.substring(F.md5(normalized), 1, 16)
+
+
+def shingles(text: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (array<string>)."""
+    toks = tokens(text)
+    k = F.size(toks) - (n - 1)
+    grams = F.when(
+        k > 0,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)

@@ -1,0 +1,143 @@
+"""Deduplication operators over a documents table — exact and near-dup.
+
+The scale-critical pattern everywhere: never build the dense pair matrix.
+Exact dedup is a hash-groupBy; near-dup goes shingle→minhash→band→bucket-
+join (LSH) so only candidate pairs shuffle, then exact Jaccard verifies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from libgrape_lite_spark.functions.similarity import (
+    cosine,
+    jaccard_pairs,
+    minhash_bands,
+    minhash_signatures,
+    simhash16,
+)
+from libgrape_lite_spark.functions.text import fingerprint
+
+
+def dedup_exact(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups by normalized-text fingerprint.
+
+    Returns (fp, n_copies, keep_id) — keep_id = min id per group (the
+    canonical survivor). One shuffle (groupBy on the 128-bit-derived hash);
+    map-side combine handles heavy duplicate clusters.
+    """
+    return (
+        docs.select(F.col(id_col).alias("id"), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("id").alias("keep_id"))
+    )
+
+
+def minhash_lsh_candidates(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """LSH candidate pairs (a, b) with a < b sharing ≥1 minhash band.
+
+    Shuffle volume = docs × bands (linear), never O(n²): band keys bucket
+    the corpus, and only within-bucket pairs materialize. Giant buckets
+    (degenerate texts) are the skew risk → AQE skew-join; an explicit salt
+    cap can be added by pre-filtering buckets with count > θ.
+    """
+    rows = num_hashes // bands
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    banded = sig.select(
+        "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
+    ).select("id", "bk.band", "bk.key")
+    a = banded.select(F.col("id").alias("a"), "band", "key")
+    b = banded.select(F.col("id").alias("b"), "band", "key")
+    return (
+        a.join(b, ["band", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def dedup_minhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
+
+    Returns (a, b, jaccard ≥ threshold). The verify stage joins candidate
+    pairs back to shingle sets — cost proportional to candidates, not n².
+    """
+    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    exact = jaccard_pairs(docs, id_col, text_col, shingle_n, threshold=0.0)
+    return (
+        cands.join(exact, ["a", "b"])
+        .where(F.col("jaccard") >= threshold)
+        .select("a", "b", "jaccard")
+    )
+
+
+def dedup_simhash(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+) -> DataFrame:
+    """SimHash near-dup pairs with Hamming distance ≤ max_hamming (16-bit).
+
+    Bucket by the simhash value's two halves (any pair within Hamming ≤ 2
+    of a 16-bit hash agrees exactly on at least one 8-bit half — pigeonhole)
+    → join per half, verify Hamming via bit_count. Linear shuffle.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash16(F.col(text_col)).alias("sh")
+    )
+    halves = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("half"), F.col("sh").bitwiseAND(F.lit(0xFF)).alias("key")),
+                F.struct(F.lit(1).alias("half"), F.shiftright("sh", 8).alias("key")),
+            )
+        ).alias("hk"),
+    ).select("id", "sh", "hk.half", "hk.key")
+    a = halves.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "half", "key")
+    b = halves.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "half", "key")
+    pairs = (
+        a.join(b, ["half", "key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "sha", "shb")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return pairs.select("a", "b", hamming.alias("hamming")).where(
+        F.col("hamming") <= max_hamming
+    )
+
+
+def dedup_embedding_cosine(
+    docs_emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Embedding near-dup pairs with cosine ≥ threshold (brute-force
+    verify; see operators/knn.py for the LSH-bucketed scale path)."""
+    a = docs_emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    b = docs_emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        a.join(b, F.col("a") < F.col("b"))
+        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )

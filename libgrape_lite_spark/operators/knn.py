@@ -1,0 +1,143 @@
+"""Approximate-nearest-neighbor search over an embedding column.
+
+Two paths:
+
+* ``knn_bruteforce`` — exact top-k cosine for a query subset; the baseline
+  and the verifier. Cross join bounded by |queries| × |corpus| — fine when
+  the query side is small or broadcastable.
+* ``knn_lsh`` — random-hyperplane LSH: L hash tables × H hyperplanes; only
+  same-bucket pairs are scored. Hyperplane vectors are derived
+  deterministically from md5 (no external randomness, reproducible across
+  runs/cluster sizes). This is the 100 TB path: shuffle is linear in
+  corpus × L, and each bucket join is a hash join AQE can skew-split.
+
+Both use JVM higher-order array functions end-to-end; the only pandas UDF
+in this module is the vectorized hyperplane projection (Arrow-batched
+NumPy matmul — per-batch, not per-row).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from libgrape_lite_spark.functions.similarity import cosine
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for every query vector.
+
+    Returns (query_id, neighbor_id, cos, rank). Deterministic tie-break:
+    (cos desc, neighbor_id asc) — on rounded cosine when ``round_digits``
+    is set, so results are reproducible across summation orders.
+    """
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    cos = cosine(F.col("qv"), F.col("cv"))
+    if round_digits is not None:
+        cos = F.round(cos, round_digits)
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", cos.alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, table: int) -> np.ndarray:
+    """Deterministic pseudo-random hyperplanes from md5 bytes."""
+    out = np.empty((n_planes, dim), dtype=np.float64)
+    for p in range(n_planes):
+        vals = []
+        i = 0
+        while len(vals) < dim:
+            h = hashlib.md5(f"lsh:{table}:{p}:{i}".encode()).digest()
+            vals.extend(b - 127.5 for b in h)
+            i += 1
+        out[p] = vals[:dim]
+    return out
+
+
+def lsh_bucket_ids(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """(id, table, bucket) — sign pattern of hyperplane projections.
+
+    Arrow-batched kernel: one NumPy matmul per batch (vectors × planes),
+    zero per-row Python.
+    """
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cached: dict[int, list[np.ndarray]] = {}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy())
+            dim = mat.shape[1]
+            if dim not in cached:
+                cached[dim] = [_hyperplanes(dim, n_planes, t) for t in range(n_tables)]
+            frames = []
+            for t, pl in enumerate(cached[dim]):
+                signs = (mat @ pl.T) > 0  # (n, planes)
+                bucket = signs @ (1 << np.arange(n_planes))
+                frames.append(
+                    pd.DataFrame(
+                        {"id": pdf["id"].to_numpy(), "table": t, "bucket": bucket.astype("int64")}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return base.mapInPandas(project, schema="id long, table int, bucket long")
+
+
+def knn_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+) -> DataFrame:
+    """Approximate top-k: candidates = same (table, bucket) in any table,
+    scored exactly, ranked like knn_bruteforce. Recall grows with
+    ``n_tables``; shuffle stays linear."""
+    cb = lsh_bucket_ids(corpus, id_col, vec_col, n_planes, n_tables)
+    qb = lsh_bucket_ids(queries, id_col, vec_col, n_planes, n_tables)
+    cand = (
+        qb.select(F.col("id").alias("query_id"), "table", "bucket")
+        .join(cb.select(F.col("id").alias("neighbor_id"), "table", "bucket"), ["table", "bucket"])
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

