@@ -1,0 +1,79 @@
+"""Partitioning & skew: salted aggregation correctness, physical-layout
+invariance (the Spark analog of the reference's 1-8 worker sweep and
+VertexMapTests — results must not change with partitioning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_edges, make_vertices
+
+
+def test_salted_aggregate_matches_plain(spark):
+    from libgrape_lite_spark.functions.partitioning import salted_aggregate
+
+    df = spark.range(10_000).select(
+        (F.col("id") % 7).alias("k"),
+        # heavy skew: 70% of rows land on key 0
+        F.when(F.col("id") % 10 < 7, F.lit(0)).otherwise(F.col("id") % 7).alias("hk"),
+        (F.col("id") * 1.5).alias("v"),
+    )
+    plain = {
+        r["hk"]: (r["s"], r["mn"], r["c"])
+        for r in df.groupBy("hk").agg(
+            F.sum("v").alias("s"), F.min("v").alias("mn"), F.count("v").alias("c")
+        ).collect()
+    }
+    salted = {
+        r["hk"]: (r["s"], r["mn"], r["c"])
+        for r in salted_aggregate(
+            df, "hk", [("v", "sum", "s"), ("v", "min", "mn"), ("v", "count", "c")], num_salts=8
+        ).collect()
+    }
+    assert set(plain) == set(salted)
+    for k in plain:
+        assert salted[k][0] == pytest.approx(plain[k][0], rel=1e-9)
+        assert salted[k][1] == plain[k][1]
+        assert salted[k][2] == plain[k][2]
+
+
+def test_hub_detector(spark):
+    from libgrape_lite_spark.functions.partitioning import top_degree_keys
+
+    e = make_edges(spark, [(i, 0) for i in range(1, 200)] + [(1, 2), (2, 3)])
+    hubs = top_degree_keys(e, key="dst", threshold=100).collect()
+    assert [r["dst"] for r in hubs] == [0]
+
+
+@pytest.mark.parametrize("parts", [1, 16])
+def test_algorithms_invariant_to_shuffle_partitions(spark, parts):
+    """Same results at different shuffle parallelism (reference sweep
+    misc/app_tests.sh:227-233 — physical layout must not change output)."""
+    from libgrape_lite_spark.operators import cdlp, pagerank, wcc
+
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    try:
+        v = make_vertices(spark, range(40))
+        e = make_edges(
+            spark,
+            [(i, (i + 1) % 40) for i in range(40)] + [(i, (i * 7) % 40) for i in range(40)],
+        )
+        comp = sorted((r["id"], r["comp"]) for r in wcc(v, e).collect())
+        lab = sorted((r["id"], r["label"]) for r in cdlp(v, e, max_rounds=5).collect())
+        pr = {r["id"]: r["rank"] for r in pagerank(v, e, max_rounds=5).collect()}
+        key = f"_invariance_expected_{id(spark)}"
+        store = _EXPECTED.setdefault(key, {})
+        if "comp" not in store:
+            store.update(comp=comp, lab=lab, pr=pr)
+        else:
+            assert comp == store["comp"]
+            assert lab == store["lab"]
+            for k, val in store["pr"].items():
+                assert pr[k] == pytest.approx(val, rel=1e-9)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+
+
+_EXPECTED: dict = {}
