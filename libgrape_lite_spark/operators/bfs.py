@@ -44,7 +44,7 @@ def bfs(
     drv = driver or IterationDriver(spark)
 
     adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    adj = adj.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+    adj = adj.dropDuplicates(["src", "dst"]).repartition("src").localCheckpoint(eager=True)
 
     resumed = drv.latest_checkpoint()
     if resumed is not None:

@@ -47,7 +47,8 @@ def cdlp(
 
     # keep parallel edges — multiplicity affects the vote (cdlp_utils.h:31-33)
     adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    adj = adj.localCheckpoint(eager=True)
+    # gather joins on dst each round — pre-partition the edge side once
+    adj = adj.repartition("dst").localCheckpoint(eager=True)
 
     resumed = drv.latest_checkpoint()
     if resumed is not None:

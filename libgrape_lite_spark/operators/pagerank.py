@@ -52,13 +52,34 @@ def pagerank(
     directed: bool = False,
     tol: float | None = None,
     driver: IterationDriver | None = None,
+    impl: str = "dataframe",
+    num_fragments: int | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, rank: double)."""
+    """Returns DataFrame(id: long, rank: double).
+
+    ``impl``:
+      * ``"dataframe"`` — pure join + groupBy supersteps (Catalyst picks
+        broadcast vs shuffled join; best when state broadcasts).
+      * ``"kernel"`` — per-fragment Arrow gather-scatter over
+        hash-co-partitioned edge blocks (plans/kernels.py): NumPy
+        ``searchsorted`` lookup + ``bincount`` pre-combine per fragment,
+        shuffle only per-fragment partial sums — the CSR-fragment path of
+        the reference (SURVEY.md §4.5), best when state exceeds the
+        broadcast threshold.
+    """
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
     adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    adj = adj.localCheckpoint(eager=True)
+    if impl == "kernel":
+        from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
+
+        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        adj = partition_edges(adj, nf).localCheckpoint(eager=True)
+    else:
+        # pre-partition by the gather join key once; supersteps then shuffle
+        # only vertex-sized data (state join + groupBy combine)
+        adj = adj.repartition("src").localCheckpoint(eager=True)
 
     n = vertices.count()
     p = 1.0 / n
@@ -89,13 +110,16 @@ def pagerank(
         base = (1.0 - d) / n + d * dangling_sum / n
         dangling_sum = base * n_dangling
 
-        gathered = (
-            adj.join(
-                state.select(F.col("id").alias("src"), "r"), "src"
+        if impl == "kernel":
+            gathered = gather_scatter(adj, state, "r", nf, reduce_fn="sum")
+        else:
+            gathered = (
+                adj.join(
+                    state.select(F.col("id").alias("src"), "r"), "src"
+                )
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.sum("r").alias("gathered"))
             )
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum("r").alias("gathered"))
-        )
         new_state = (
             state.select("id", "degree", F.col("r").alias("prev_r"))
             .join(gathered, "id", "left")

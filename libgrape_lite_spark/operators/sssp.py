@@ -50,6 +50,7 @@ def sssp(
     # relaxation — pre-combining keeps the per-round join minimal
     adj = (
         adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
 

@@ -51,10 +51,15 @@ def wcc(
 
     # Both directions once; parallel edges/self-loops add nothing to a
     # min-aggregate, so dedup shrinks every subsequent shuffle.
+    # Pre-partition the (big) adjacency by the per-round join key ONCE:
+    # localCheckpoint preserves outputPartitioning, so every superstep's
+    # join exchanges only the vertex-sized state side (verified via
+    # .explain — Scan ExistingRDD feeds the join with no Exchange above it).
     adj = (
         undirected(edges.select("src", "dst"))
         .where(F.col("src") != F.col("dst"))
         .dropDuplicates(["src", "dst"])
+        .repartition("src")
         .localCheckpoint(eager=True)
     )
 

@@ -43,13 +43,18 @@ _TOOLS = [f"tool_{i:02d}" for i in range(20)]
 _EPOCH = np.datetime64("2026-01-01T00:00:00")
 
 
-def _gen_conversation(conv_idx: int, seed: int) -> pd.DataFrame:
+def _gen_conversation(conv_idx: int, seed: int):
+    """One conversation's rows as plain lists (cheap; no per-conv pandas).
+
+    Per-conversation seeding makes output independent of batching and
+    partitioning; the call sequence (zipf, random, zipf, integers) is the
+    determinism contract — do not reorder."""
     rng = np.random.default_rng((seed, conv_idx))
     conv_id = f"conv_{conv_idx:06d}"
     length = int(min(2 + rng.zipf(2.1), 64))
     roles: list[str] = []
     tools: list[str | None] = []
-    role_cycle = ["user", "assistant"]
+    role_cycle = ("user", "assistant")
     i = 0
     while len(roles) < length:
         role = role_cycle[i % 2]
@@ -62,22 +67,9 @@ def _gen_conversation(conv_idx: int, seed: int) -> pd.DataFrame:
             # Zipf-skewed tool choice → deliberate hub vertices
             tools.append(_TOOLS[int(min(rng.zipf(1.5), 20) - 1)])
     n = len(roles)
-    turn_idx = np.arange(n, dtype=np.int32)
     suffix = rng.integers(0, 2**63 - 1, size=n)
-    texts = [
-        f"{conv_id}:{t}:{r}:{s:016x}" for t, r, s in zip(turn_idx, roles, suffix)
-    ]
-    ts = _EPOCH + np.timedelta64(1, "s") * (conv_idx * 1000 + turn_idx.astype("int64"))
-    return pd.DataFrame(
-        {
-            "conv_id": conv_id,
-            "turn_idx": turn_idx,
-            "role": roles,
-            "text": texts,
-            "tool": pd.array(tools, dtype="string"),
-            "ts": ts,
-        }
-    )
+    texts = [f"{conv_id}:{t}:{r}:{s:016x}" for t, (r, s) in enumerate(zip(roles, suffix))]
+    return conv_id, n, roles, tools, texts
 
 
 def synthesize_transcripts(
@@ -93,9 +85,35 @@ def synthesize_transcripts(
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            frames = [_gen_conversation(int(c), seed) for c in pdf["id"]]
-            if frames:
-                yield pd.concat(frames, ignore_index=True)
+            conv_ids: list[str] = []
+            turn_idx: list[np.ndarray] = []
+            roles: list[str] = []
+            tools: list[str | None] = []
+            texts: list[str] = []
+            conv_nums: list[np.ndarray] = []
+            for c in pdf["id"]:
+                cid, n, r, tl, tx = _gen_conversation(int(c), seed)
+                conv_ids.extend([cid] * n)
+                turn_idx.append(np.arange(n, dtype=np.int32))
+                roles.extend(r)
+                tools.extend(tl)
+                texts.extend(tx)
+                conv_nums.append(np.full(n, int(c), dtype=np.int64))
+            if not conv_ids:
+                continue
+            ti = np.concatenate(turn_idx)
+            cn = np.concatenate(conv_nums)
+            ts = _EPOCH + np.timedelta64(1, "s") * (cn * 1000 + ti.astype("int64"))
+            yield pd.DataFrame(
+                {
+                    "conv_id": conv_ids,
+                    "turn_idx": ti,
+                    "role": roles,
+                    "text": texts,
+                    "tool": pd.array(tools, dtype="string"),
+                    "ts": ts,
+                }
+            )
 
     n_parts = max(1, min(n_conversations // 64 + 1, 256))
     return (

@@ -37,7 +37,11 @@ def _run_once(cores: int, n_conversations: int, seed: int = 42) -> dict:
     )
     spark.sparkContext.setLogLevel("ERROR")
     try:
-        t = synthesize_transcripts(spark, n_conversations, seed=seed)
+        # materialize the generator output once — edge derivation scans the
+        # transcripts several times (reply/tool/role branches + vertex union)
+        t = synthesize_transcripts(spark, n_conversations, seed=seed).localCheckpoint(
+            eager=True
+        )
         vertices, edges = build_graph_from_transcripts(t)
         vertices = vertices.localCheckpoint(eager=True)
         edges = edges.localCheckpoint(eager=True)
