@@ -67,6 +67,17 @@ def main() -> None:
         timings[name] = round(time.time() - t, 3)
 
     timed("pagerank", lambda: pagerank(vertices, edges, max_rounds=PR_ROUNDS))
+
+    # convergence-mode PR (the metric's "to 1e-6 convergence" clause)
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    conv_drv = IterationDriver(spark)
+    timed(
+        "pagerank_to_1e6",
+        lambda: pagerank(vertices, edges, max_rounds=100, tol=1e-6, driver=conv_drv),
+    )
+    conv_rounds = len(conv_drv.metrics)
+
     timed("wcc", lambda: wcc(vertices, edges))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
@@ -86,6 +97,12 @@ def main() -> None:
         "n_vertices": n_vertices,
         "n_edges": n_edges,
         "pr_supersteps_per_sec": round(PR_ROUNDS / pr_sec, 3) if pr_sec else 0.0,
+        "pr_rounds_to_1e6": conv_rounds,
+        "pr_conv_supersteps_per_sec": round(
+            conv_rounds / timings["pagerank_to_1e6"], 3
+        )
+        if timings.get("pagerank_to_1e6")
+        else 0.0,
         "cpus": CPUS,
     }
 

@@ -120,20 +120,21 @@ def pagerank(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.sum("r").alias("gathered"))
             )
-        new_state = (
-            state.select("id", "degree", F.col("r").alias("prev_r"))
-            .join(gathered, "id", "left")
-            .select(
-                "id",
-                "degree",
-                F.when(
-                    F.col("degree") > 0,
-                    (d * F.coalesce("gathered", F.lit(0.0)) + base) / F.col("degree"),
-                )
-                .otherwise(base)
-                .alias("r"),
-                "prev_r",
+        new_r = (
+            F.when(
+                F.col("degree") > 0,
+                (d * F.coalesce("gathered", F.lit(0.0)) + base) / F.col("degree"),
             )
+            .otherwise(base)
+            .alias("r")
+        )
+        # prev_r only materialized when the convergence stop rule needs it —
+        # it widens every superstep's checkpointed state by 25% otherwise
+        prev_cols = [F.col("r").alias("prev_r")] if tol is not None else []
+        new_state = (
+            state.select("id", "degree", *prev_cols)
+            .join(gathered, "id", "left")
+            .select("id", "degree", new_r, *(["prev_r"] if tol is not None else []))
         )
         state = drv.materialize(new_state, step)
 

@@ -1,0 +1,66 @@
+"""One scaling-run leg: PageRank on the synthetic transcript graph at a
+given core count. Invoked by bench_scaling.py inside a ``taskset``-pinned
+subprocess so the JVM genuinely has only N CPUs (GC/netty/IO included) —
+otherwise a local[N] run borrows the other cores for JVM services and the
+N-vs-4N comparison under-reports scaling.
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+PR_ROUNDS = 10
+
+
+def main() -> None:
+    cores = int(sys.argv[1])
+    n_conversations = int(sys.argv[2])
+    seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+
+    from libgrape_lite_spark import get_spark
+    from libgrape_lite_spark.functions.edges import build_graph_from_transcripts
+    from libgrape_lite_spark.operators import pagerank
+    from libgrape_lite_spark.sources.transcripts import synthesize_transcripts
+
+    spark = get_spark(
+        app_name=f"scaling-local{cores}",
+        master=f"local[{cores}]",
+        shuffle_partitions=cores,
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    t = synthesize_transcripts(spark, n_conversations, seed=seed).localCheckpoint(
+        eager=True
+    )
+    vertices, edges = build_graph_from_transcripts(t)
+    vertices = vertices.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
+    n_edges = edges.count()
+    n_vertices = vertices.count()
+    pagerank(vertices, edges, max_rounds=1).count()  # warm-up (JIT, codegen)
+    t0 = time.time()
+    pagerank(vertices, edges, max_rounds=PR_ROUNDS).count()
+    dt = time.time() - t0
+    print(
+        json.dumps(
+            {
+                "cores": cores,
+                "n_vertices": n_vertices,
+                "n_edges": n_edges,
+                "seconds": round(dt, 2),
+                "supersteps_per_sec": round(PR_ROUNDS / dt, 3),
+                "edges_per_sec": round(2 * n_edges * PR_ROUNDS / dt, 1),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

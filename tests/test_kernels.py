@@ -1,0 +1,56 @@
+"""Fragment gather-scatter kernels (plans/kernels.py) vs DataFrame results."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import make_edges, make_vertices
+
+
+def test_gather_scatter_sum_matches_join(spark):
+    from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
+
+    e = make_edges(spark, [(i, (i * 3) % 50) for i in range(200)] + [(0, 1)] * 5)
+    state = spark.range(200).select(
+        F.col("id"), (F.col("id") * 0.5 + 1.0).alias("val")
+    )
+    want = {
+        r["id"]: r["g"]
+        for r in e.join(state.withColumnRenamed("id", "src"), "src")
+        .groupBy(F.col("dst").alias("id"))
+        .agg(F.sum("val").alias("g"))
+        .collect()
+    }
+    ep = partition_edges(e, 4).localCheckpoint(eager=True)
+    got = {r["id"]: r["gathered"] for r in gather_scatter(ep, state, "val", 4).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], rel=1e-12)
+
+
+def test_gather_scatter_min(spark):
+    from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
+
+    e = make_edges(spark, [(1, 3), (2, 3), (4, 3), (1, 5)])
+    state = spark.createDataFrame(
+        [(1, 9.0), (2, 4.0), (4, 7.0)], "id long, val double"
+    )
+    ep = partition_edges(e, 3).localCheckpoint(eager=True)
+    got = {r["id"]: r["gathered"] for r in
+           gather_scatter(ep, state, "val", 3, reduce_fn="min").collect()}
+    assert got == {3: 4.0, 5: 9.0}
+
+
+def test_pagerank_kernel_equals_dataframe(spark):
+    from libgrape_lite_spark.operators import pagerank
+
+    v = make_vertices(spark, range(30))
+    e = make_edges(
+        spark, [(i, (i + 1) % 30) for i in range(30)] + [(i, (i * 7) % 30) for i in range(30)]
+    )
+    a = {r["id"]: r["rank"] for r in pagerank(v, e, max_rounds=6).collect()}
+    b = {r["id"]: r["rank"] for r in
+         pagerank(v, e, max_rounds=6, impl="kernel", num_fragments=4).collect()}
+    for k in a:
+        assert b[k] == pytest.approx(a[k], rel=1e-10)
