@@ -54,6 +54,10 @@ def main() -> None:
     n_edges = edges.count()
     t_build = time.time() - t0
 
+    from libgrape_lite_spark.session import tune_shuffle_partitions
+
+    shuffle_parts = tune_shuffle_partitions(spark, 2 * n_edges, max_partitions=CPUS)
+
     source_id = (
         vertices.orderBy("id").limit(1).collect()[0]["id"]
     )
@@ -104,6 +108,7 @@ def main() -> None:
         if timings.get("pagerank_to_1e6")
         else 0.0,
         "cpus": CPUS,
+        "shuffle_partitions": shuffle_parts,
     }
 
     if os.environ.get("SPARK_GRAFT_SCALING") == "1":

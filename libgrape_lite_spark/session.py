@@ -51,3 +51,24 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def tune_shuffle_partitions(
+    spark: SparkSession,
+    n_rows: int,
+    max_partitions: int | None = None,
+    rows_per_partition: int = 50_000,
+) -> int:
+    """Size ``spark.sql.shuffle.partitions`` to the data, not the cluster.
+
+    Iterative graph jobs run many small stages; scheduling cores×k tiny
+    tasks per superstep costs more than the work when partitions hold only
+    a few thousand rows (measured: 10 PR rounds at 209k edges — 11.3 s at
+    32 partitions vs 7.5 s at 4). Complementary to AQE coalescing, which
+    only merges *after* the map side already ran at full width. At real
+    scale the clamp lands on ``max_partitions`` and this is a no-op.
+    """
+    cpus = max_partitions or spark.sparkContext.defaultParallelism
+    parts = max(4, min(cpus, n_rows // rows_per_partition or 4))
+    spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+    return parts
