@@ -27,6 +27,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 INT64_MAX = (1 << 63) - 1
 
@@ -43,36 +44,37 @@ def bfs(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    adj = adj.dropDuplicates(["src", "dst"]).repartition("src").localCheckpoint(eager=True)
+    with static_plans(spark):
+        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
+        adj = adj.dropDuplicates(["src", "dst"]).repartition("src").localCheckpoint(eager=True)
 
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        visited, step = resumed
-        frontier = visited.where(F.col("depth") == step).select("id")
-    else:
-        step = 0
-        visited = drv.materialize(
-            spark.createDataFrame([(source, 0)], "id long, depth long"), step
-        )
-        frontier = visited.select("id")
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            visited, step = resumed
+            frontier = visited.where(F.col("depth") == step).select("id")
+        else:
+            step = 0
+            visited = drv.materialize(
+                spark.createDataFrame([(source, 0)], "id long, depth long"), step
+            )
+            frontier = visited.select("id")
 
-    while max_rounds is None or step < max_rounds:
-        t0 = time.time()
-        step += 1
-        nxt = (
-            adj.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"))
-            .distinct()
-            .join(visited.select("id"), "id", "left_anti")
-            .select("id", F.lit(step).cast("long").alias("depth"))
-        )
-        visited = drv.materialize(visited.unionByName(nxt), step)
-        frontier = visited.where(F.col("depth") == step).select("id")
-        active = frontier.count()
-        drv.log(step, active, time.time() - t0, op="bfs")
-        if active == 0:
-            break
+        while max_rounds is None or step < max_rounds:
+            t0 = time.time()
+            step += 1
+            nxt = (
+                adj.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"))
+                .distinct()
+                .join(visited.select("id"), "id", "left_anti")
+                .select("id", F.lit(step).cast("long").alias("depth"))
+            )
+            visited = drv.materialize(visited.unionByName(nxt), step)
+            frontier = visited.where(F.col("depth") == step).select("id")
+            active = frontier.count()
+            drv.log(step, active, time.time() - t0, op="bfs")
+            if active == 0:
+                break
 
     drv.finish()
     return (

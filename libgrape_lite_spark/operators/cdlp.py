@@ -32,6 +32,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 
 def cdlp(
@@ -45,35 +46,36 @@ def cdlp(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    # keep parallel edges — multiplicity affects the vote (cdlp_utils.h:31-33)
-    adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    # gather joins on dst each round — pre-partition the edge side once
-    adj = adj.repartition("dst").localCheckpoint(eager=True)
+    with static_plans(spark):
+        # keep parallel edges — multiplicity affects the vote (cdlp_utils.h:31-33)
+        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
+        # gather joins on dst each round — pre-partition the edge side once
+        adj = adj.repartition("dst").localCheckpoint(eager=True)
 
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        state, step = resumed
-    else:
-        step = 0
-        state = drv.materialize(vertices.select("id", F.col("id").alias("label")), step)
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            step = 0
+            state = drv.materialize(vertices.select("id", F.col("id").alias("label")), step)
 
-    while step < max_rounds:
-        t0 = time.time()
-        step += 1
-        # gather over out-adjacency: vertex u sees labels of its out-nbrs
-        counts = (
-            adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")
-            .groupBy(F.col("src").alias("id"), "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        top = counts.groupBy("id").agg(
-            F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
-        ).select("id", (-F.col("m.neg")).alias("new_label"))
-        new_state = state.join(top, "id", "left").select(
-            "id", F.coalesce("new_label", "label").alias("label")
-        )
-        state = drv.materialize(new_state, step)
-        drv.log(step, -1, time.time() - t0, op="cdlp")
+        while step < max_rounds:
+            t0 = time.time()
+            step += 1
+            # gather over out-adjacency: vertex u sees labels of its out-nbrs
+            counts = (
+                adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")
+                .groupBy(F.col("src").alias("id"), "label")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+            )
+            top = counts.groupBy("id").agg(
+                F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
+            ).select("id", (-F.col("m.neg")).alias("new_label"))
+            new_state = state.join(top, "id", "left").select(
+                "id", F.coalesce("new_label", "label").alias("label")
+            )
+            state = drv.materialize(new_state, step)
+            drv.log(step, -1, time.time() - t0, op="cdlp")
 
     drv.finish()
     return state.select("id", "label")

@@ -42,6 +42,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import out_degrees, undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 
 def pagerank(
@@ -70,86 +71,87 @@ def pagerank(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-    if impl == "kernel":
-        from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
-
-        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        adj = partition_edges(adj, nf).localCheckpoint(eager=True)
-    else:
-        # pre-partition by the gather join key once; supersteps then shuffle
-        # only vertex-sized data (state join + groupBy combine)
-        adj = adj.repartition("src").localCheckpoint(eager=True)
-
-    n = vertices.count()
-    p = 1.0 / n
-    d = damping
-
-    deg = out_degrees(adj, vertices)  # counts parallel edges (GetLocalOutDegree)
-    state = deg.select(
-        "id",
-        "degree",
-        F.when(F.col("degree") > 0, p / F.col("degree")).otherwise(p).alias("r"),
-    )
-    step = 0
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        state, step = resumed
-    else:
-        state = drv.materialize(state, step)
-    n_dangling = state.where(F.col("degree") == 0).count()
-    dangling_sum = p * n_dangling
-    # replay the driver-side scalar recurrence up to the resumed superstep
-    for _ in range(step):
-        base = (1.0 - d) / n + d * dangling_sum / n
-        dangling_sum = base * n_dangling
-
-    while step < max_rounds:
-        t0 = time.time()
-        step += 1
-        base = (1.0 - d) / n + d * dangling_sum / n
-        dangling_sum = base * n_dangling
-
+    with static_plans(spark):
+        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
         if impl == "kernel":
-            gathered = gather_scatter(adj, state, "r", nf, reduce_fn="sum")
-        else:
-            gathered = (
-                adj.join(
-                    state.select(F.col("id").alias("src"), "r"), "src"
-                )
-                .groupBy(F.col("dst").alias("id"))
-                .agg(F.sum("r").alias("gathered"))
-            )
-        new_r = (
-            F.when(
-                F.col("degree") > 0,
-                (d * F.coalesce("gathered", F.lit(0.0)) + base) / F.col("degree"),
-            )
-            .otherwise(base)
-            .alias("r")
-        )
-        # prev_r only materialized when the convergence stop rule needs it —
-        # it widens every superstep's checkpointed state by 25% otherwise
-        prev_cols = [F.col("r").alias("prev_r")] if tol is not None else []
-        new_state = (
-            state.select("id", "degree", *prev_cols)
-            .join(gathered, "id", "left")
-            .select("id", "degree", new_r, *(["prev_r"] if tol is not None else []))
-        )
-        state = drv.materialize(new_state, step)
+            from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
 
-        if tol is not None:
-            # convergence on final-scale ranks: |Δ(r*deg)| for non-dangling,
-            # |Δr| for dangling (degree multiplier applied at output)
-            scale = F.when(F.col("degree") > 0, F.col("degree")).otherwise(F.lit(1.0))
-            max_delta = state.select(
-                F.max(F.abs((F.col("r") - F.col("prev_r")) * scale)).alias("md")
-            ).collect()[0]["md"]
-            drv.log(step, n, time.time() - t0, op="pagerank", max_delta=max_delta)
-            if max_delta is not None and max_delta < tol:
-                break
+            nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+            adj = partition_edges(adj, nf).localCheckpoint(eager=True)
         else:
-            drv.log(step, n, time.time() - t0, op="pagerank")
+            # pre-partition by the gather join key once; supersteps then shuffle
+            # only vertex-sized data (state join + groupBy combine)
+            adj = adj.repartition("src").localCheckpoint(eager=True)
+
+        n = vertices.count()
+        p = 1.0 / n
+        d = damping
+
+        deg = out_degrees(adj, vertices)  # counts parallel edges (GetLocalOutDegree)
+        state = deg.select(
+            "id",
+            "degree",
+            F.when(F.col("degree") > 0, p / F.col("degree")).otherwise(p).alias("r"),
+        )
+        step = 0
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            state = drv.materialize(state, step)
+        n_dangling = state.where(F.col("degree") == 0).count()
+        dangling_sum = p * n_dangling
+        # replay the driver-side scalar recurrence up to the resumed superstep
+        for _ in range(step):
+            base = (1.0 - d) / n + d * dangling_sum / n
+            dangling_sum = base * n_dangling
+
+        while step < max_rounds:
+            t0 = time.time()
+            step += 1
+            base = (1.0 - d) / n + d * dangling_sum / n
+            dangling_sum = base * n_dangling
+
+            if impl == "kernel":
+                gathered = gather_scatter(adj, state, "r", nf, reduce_fn="sum")
+            else:
+                gathered = (
+                    adj.join(
+                        state.select(F.col("id").alias("src"), "r"), "src"
+                    )
+                    .groupBy(F.col("dst").alias("id"))
+                    .agg(F.sum("r").alias("gathered"))
+                )
+            new_r = (
+                F.when(
+                    F.col("degree") > 0,
+                    (d * F.coalesce("gathered", F.lit(0.0)) + base) / F.col("degree"),
+                )
+                .otherwise(base)
+                .alias("r")
+            )
+            # prev_r only materialized when the convergence stop rule needs it —
+            # it widens every superstep's checkpointed state by 25% otherwise
+            prev_cols = [F.col("r").alias("prev_r")] if tol is not None else []
+            new_state = (
+                state.select("id", "degree", *prev_cols)
+                .join(gathered, "id", "left")
+                .select("id", "degree", new_r, *(["prev_r"] if tol is not None else []))
+            )
+            state = drv.materialize(new_state, step)
+
+            if tol is not None:
+                # convergence on final-scale ranks: |Δ(r*deg)| for non-dangling,
+                # |Δr| for dangling (degree multiplier applied at output)
+                scale = F.when(F.col("degree") > 0, F.col("degree")).otherwise(F.lit(1.0))
+                max_delta = state.select(
+                    F.max(F.abs((F.col("r") - F.col("prev_r")) * scale)).alias("md")
+                ).collect()[0]["md"]
+                drv.log(step, n, time.time() - t0, op="pagerank", max_delta=max_delta)
+                if max_delta is not None and max_delta < tol:
+                    break
+            else:
+                drv.log(step, n, time.time() - t0, op="pagerank")
 
     drv.finish()
     # multiply back by degree for non-dangling (pagerank.h:202-214)

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 
 def sssp(
@@ -41,59 +42,60 @@ def sssp(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    adj = (
-        edges.select("src", "dst", "weight")
-        if directed
-        else undirected(edges.select("src", "dst", "weight"))
-    )
-    # parallel edges: only the min weight per (src,dst) can ever win a
-    # relaxation — pre-combining keeps the per-round join minimal
-    adj = (
-        adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
-
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        state, step = resumed
-    else:
-        step = 0
-        state = drv.materialize(
-            spark.createDataFrame([(source, 0.0, True)], "id long, dist double, improved boolean"),
-            step,
+    with static_plans(spark):
+        adj = (
+            edges.select("src", "dst", "weight")
+            if directed
+            else undirected(edges.select("src", "dst", "weight"))
+        )
+        # parallel edges: only the min weight per (src,dst) can ever win a
+        # relaxation — pre-combining keeps the per-round join minimal
+        adj = (
+            adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+            .repartition("src")
+            .localCheckpoint(eager=True)
         )
 
-    while max_rounds is None or step < max_rounds:
-        t0 = time.time()
-        step += 1
-        frontier = state.where("improved").select("id", "dist")
-        cand = (
-            adj.join(frontier.withColumnRenamed("id", "src"), "src")
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd"))
-            .groupBy("id")
-            .agg(F.min("nd").alias("nd"))
-        )
-        new_state = (
-            state.select("id", "dist")
-            .join(cand, "id", "full")
-            .select(
-                "id",
-                F.least(
-                    F.coalesce("dist", F.lit(float("inf"))),
-                    F.coalesce("nd", F.lit(float("inf"))),
-                ).alias("dist"),
-                (
-                    F.col("nd").isNotNull()
-                    & (F.col("nd") < F.coalesce("dist", F.lit(float("inf"))))
-                ).alias("improved"),
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            step = 0
+            state = drv.materialize(
+                spark.createDataFrame([(source, 0.0, True)], "id long, dist double, improved boolean"),
+                step,
             )
-        )
-        state = drv.materialize(new_state, step)
-        active = state.where("improved").count()
-        drv.log(step, active, time.time() - t0, op="sssp")
-        if active == 0:
-            break
+
+        while max_rounds is None or step < max_rounds:
+            t0 = time.time()
+            step += 1
+            frontier = state.where("improved").select("id", "dist")
+            cand = (
+                adj.join(frontier.withColumnRenamed("id", "src"), "src")
+                .select(F.col("dst").alias("id"), (F.col("dist") + F.col("weight")).alias("nd"))
+                .groupBy("id")
+                .agg(F.min("nd").alias("nd"))
+            )
+            new_state = (
+                state.select("id", "dist")
+                .join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("nd", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("nd").isNotNull()
+                        & (F.col("nd") < F.coalesce("dist", F.lit(float("inf"))))
+                    ).alias("improved"),
+                )
+            )
+            state = drv.materialize(new_state, step)
+            active = state.where("improved").count()
+            drv.log(step, active, time.time() - t0, op="sssp")
+            if active == 0:
+                break
 
     drv.finish()
     return (

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 
 def wcc(
@@ -49,47 +50,54 @@ def wcc(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    # Both directions once; parallel edges/self-loops add nothing to a
-    # min-aggregate, so dedup shrinks every subsequent shuffle.
-    # Pre-partition the (big) adjacency by the per-round join key ONCE:
-    # localCheckpoint preserves outputPartitioning, so every superstep's
-    # join exchanges only the vertex-sized state side (verified via
-    # .explain — Scan ExistingRDD feeds the join with no Exchange above it).
-    adj = (
-        undirected(edges.select("src", "dst"))
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-        .repartition("src")
-        .localCheckpoint(eager=True)
-    )
-
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        state, step = resumed
-        state = state.select("id", "comp")
-    else:
-        step = 0
-        state = drv.materialize(vertices.select("id", F.col("id").alias("comp")), step)
-
-    while max_rounds is None or step < max_rounds:
-        t0 = time.time()
-        step += 1
-        comp = state.select("id", "comp")
-        nbr_min = (
-            adj.join(comp.withColumnRenamed("id", "src"), "src")
-            .groupBy(F.col("dst").alias("id"))
-            .agg(F.min("comp").alias("nbr_comp"))
+    with static_plans(spark):
+        # Both directions once; parallel edges/self-loops add nothing to a
+        # min-aggregate, so dedup shrinks every subsequent shuffle.
+        # Pre-partition the (big) adjacency by the per-round join key ONCE:
+        # localCheckpoint preserves outputPartitioning, so every superstep's
+        # join exchanges only the vertex-sized state side (verified via
+        # .explain — Scan ExistingRDD feeds the join with no Exchange above it).
+        adj = (
+            undirected(edges.select("src", "dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .repartition("src")
+            .localCheckpoint(eager=True)
         )
-        new_state = comp.join(nbr_min, "id", "left").select(
-            "id",
-            F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-            (F.col("nbr_comp") < F.col("comp")).alias("changed"),
-        )
-        state = drv.materialize(new_state, step)
-        active = state.where("changed").count()
-        drv.log(step, active, time.time() - t0, op="wcc")
-        if active == 0:
-            break
+
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            step = 0
+            state = drv.materialize(
+                vertices.select("id", F.col("id").alias("comp"), F.lit(True).alias("changed")),
+                step,
+            )
+
+        while max_rounds is None or step < max_rounds:
+            t0 = time.time()
+            step += 1
+            # Frontier push: only vertices whose comp changed last round send
+            # (the reference's `curr_modified` set, wcc.h:95-125) — monotone
+            # min-propagation makes earlier sends permanent, so the join
+            # shrinks with the frontier instead of staying O(E) every round.
+            senders = state.where("changed").select(F.col("id").alias("src"), "comp")
+            nbr_min = (
+                adj.join(senders, "src")
+                .groupBy(F.col("dst").alias("id"))
+                .agg(F.min("comp").alias("nbr_comp"))
+            )
+            new_state = state.select("id", "comp").join(nbr_min, "id", "left").select(
+                "id",
+                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
+                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+            )
+            state = drv.materialize(new_state, step)
+            active = state.where("changed").count()
+            drv.log(step, active, time.time() - t0, op="wcc")
+            if active == 0:
+                break
 
     drv.finish()
     return state.select("id", "comp")

@@ -33,6 +33,7 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
+from libgrape_lite_spark.session import static_plans
 
 _MERGE = {"min": F.min, "max": F.max, "sum": F.sum, "count": F.count}
 
@@ -68,36 +69,37 @@ def run_vertex_program(
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    adj = edges if program.directed else undirected(edges)
-    adj = adj.repartition("src").localCheckpoint(eager=True)
+    with static_plans(spark):
+        adj = edges if program.directed else undirected(edges)
+        adj = adj.repartition("src").localCheckpoint(eager=True)
 
-    resumed = drv.latest_checkpoint()
-    if resumed is not None:
-        state, step = resumed
-    else:
-        step = 0
-        init = program.init(vertices, edges)
-        if "changed" not in init.columns:
-            init = init.withColumn("changed", F.lit(True))
-        state = drv.materialize(init, step)
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            step = 0
+            init = program.init(vertices, edges)
+            if "changed" not in init.columns:
+                init = init.withColumn("changed", F.lit(True))
+            state = drv.materialize(init, step)
 
-    merge_fn = _MERGE[program.merge]
-    while max_rounds is None or step < max_rounds:
-        t0 = time.time()
-        step += 1
-        senders = state.where("changed") if program.frontier_only else state
-        joined = adj.join(senders.withColumnRenamed("id", "src"), "src")
-        msgs = (
-            joined.select(F.col("dst").alias("id"), program.message(joined).alias("m"))
-            .groupBy("id")
-            .agg(merge_fn("m").alias("msg"))
-        )
-        new_state = program.apply(state, msgs)
-        state = drv.materialize(new_state, step)
-        active = state.where("changed").count()
-        drv.log(step, active, time.time() - t0, op="vertex_program")
-        if active == 0:
-            break
+        merge_fn = _MERGE[program.merge]
+        while max_rounds is None or step < max_rounds:
+            t0 = time.time()
+            step += 1
+            senders = state.where("changed") if program.frontier_only else state
+            joined = adj.join(senders.withColumnRenamed("id", "src"), "src")
+            msgs = (
+                joined.select(F.col("dst").alias("id"), program.message(joined).alias("m"))
+                .groupBy("id")
+                .agg(merge_fn("m").alias("msg"))
+            )
+            new_state = program.apply(state, msgs)
+            state = drv.materialize(new_state, step)
+            active = state.where("changed").count()
+            drv.log(step, active, time.time() - t0, op="vertex_program")
+            if active == 0:
+                break
 
     drv.finish()
     return state.drop("changed")

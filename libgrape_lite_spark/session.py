@@ -10,6 +10,7 @@ analog of the reference's ``Rebalancer`` (``grape/fragment/rebalancer.h``).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager as _contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,25 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+@_contextmanager
+def static_plans(spark: SparkSession):
+    """Disable AQE for the duration of an iterative superstep loop.
+
+    Superstep plans are fixed-shape and reuse a pre-partitioned adjacency;
+    AQE re-plans every round and inserts an extra edge-sized Exchange above
+    the checkpointed adjacency (measured: 3 exchanges vs 2 per gather with
+    AQE on — scripts/audit_plans.py). Skew inside the loop is handled by
+    map-side partial aggregation + explicit salting
+    (functions/partitioning.py); AQE stays on for everything else.
+    """
+    old = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", old)
 
 
 def tune_shuffle_partitions(
