@@ -1,0 +1,113 @@
+"""Property tests vs NumPy/pure-Python oracles (SURVEY.md §7 risk register:
+CDLP tie-breaking and per-parallel-edge multiplicity must match
+cdlp_utils.h:28-60 exactly; WCC vs union-find)."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from tests.conftest import make_edges, make_vertices
+
+N_VERTICES = 8
+
+edge_lists = st.lists(
+    st.tuples(st.integers(0, N_VERTICES - 1), st.integers(0, N_VERTICES - 1)),
+    min_size=1,
+    max_size=14,
+)
+
+
+def _cdlp_oracle(n, edges, rounds):
+    """Reference recurrence (cdlp.h:37-162 + cdlp_utils.h:28-60):
+    synchronous rounds; vote per out-adjacency entry on the doubled
+    multigraph; most frequent, ties → smallest; isolated keep label."""
+    adj: dict[int, list[int]] = {v: [] for v in range(n)}
+    for s, d in edges:
+        adj[s].append(d)
+        adj[d].append(s)
+    labels = list(range(n))
+    for _ in range(rounds):
+        new = labels[:]
+        for v in range(n):
+            if not adj[v]:
+                continue
+            votes = Counter(labels[u] for u in adj[v])
+            best = max(votes.items(), key=lambda kv: (kv[1], -kv[0]))
+            new[v] = best[0]
+        labels = new
+    return {v: labels[v] for v in range(n)}
+
+
+def _wcc_oracle(n, edges):
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        a, b = find(s), find(d)
+        if a != b:
+            parent[max(a, b)] = min(a, b)
+    return {v: find(v) for v in range(n)}
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists, rounds=st.integers(1, 3))
+def test_cdlp_matches_oracle(spark, edges, rounds):
+    from libgrape_lite_spark.operators import cdlp
+
+    v = make_vertices(spark, range(N_VERTICES))
+    e = make_edges(spark, edges)
+    got = {r["id"]: r["label"] for r in cdlp(v, e, max_rounds=rounds).collect()}
+    assert got == _cdlp_oracle(N_VERTICES, edges, rounds)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(edges=edge_lists)
+def test_wcc_matches_union_find(spark, edges):
+    from libgrape_lite_spark.operators import wcc
+
+    v = make_vertices(spark, range(N_VERTICES))
+    e = make_edges(spark, edges)
+    got = {r["id"]: r["comp"] for r in wcc(v, e).collect()}
+    assert got == _wcc_oracle(N_VERTICES, edges)
+
+
+def test_lcc_matches_bruteforce(spark):
+    """Random-ish fixed multigraph: LCC vs O(n³) brute force with the
+    reference's degree definition (doubled multigraph adjacency length)."""
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 0), (1, 2), (4, 4), (3, 1)]
+    from libgrape_lite_spark.operators import lcc
+
+    n = 5
+    deg = [0] * n
+    nbrs = [set() for _ in range(n)]
+    for s, d in edges:
+        deg[s] += 1
+        deg[d] += 1
+        if s != d:
+            nbrs[s].add(d)
+            nbrs[d].add(s)
+    tri = [0] * n
+    for a in range(n):
+        for b in nbrs[a]:
+            for c in nbrs[a]:
+                if b < c and c in nbrs[b]:
+                    tri[a] += 1
+    want = {
+        v: (2.0 * tri[v] / (deg[v] * (deg[v] - 1)) if deg[v] >= 2 else 0.0)
+        for v in range(n)
+    }
+    got = {
+        r["id"]: r["lcc"]
+        for r in lcc(make_vertices(spark, range(n)), make_edges(spark, edges)).collect()
+    }
+    for v in range(n):
+        assert got[v] == pytest.approx(want[v]), v
