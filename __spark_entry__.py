@@ -209,6 +209,15 @@ def _q_embedding_topk(spark, sf_dir):
     )
 
 
+def _q_embedding_dedup(spark, sf_dir):
+    from libgrape_lite_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return dedup_embedding_cosine(emb, threshold=0.4).select(
+        "a", "b", F.round("cos", 6).alias("cos")
+    )
+
+
 def _q_text_stats(spark, sf_dir):
     from libgrape_lite_spark.functions import text as T
 
@@ -265,6 +274,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "embedding_dedup": _q_embedding_dedup,
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
     }
@@ -551,6 +561,17 @@ r AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 
 
+def _sql_embedding_dedup() -> str:
+    return """WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS a, b.vec_id AS b,
+       ROUND(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4"""
+
+
 def _lang_hits_sql(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(ltk, t -> list_contains([{lst}], t)))"
@@ -616,6 +637,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _sql_jaccard_pairs(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
+        "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "multimodal_bytes": _sql_multimodal(),
     }

@@ -38,13 +38,18 @@ def khop_sample(
     ``edges(src, dst, weight)``, ``queries(root)`` →
     (root, hop, src, dst) sampled edges, ≤ fanout per expanded vertex.
 
-    Strategies (sampler.h sampling conditions):
-      hash   — deterministic pseudo-random: order by h(root, src, dst)
-      topk   — highest edge weight first (ties → smallest dst)
+    Strategies (sampler.h sampling conditions: Random / EdgeWeight / TopK):
+      hash     — deterministic pseudo-random: order by h(root, src, dst)
+      topk     — highest edge weight first (ties → smallest dst)
+      weighted — weight-proportional sampling without replacement via the
+                 exponential-sort trick (Efraimidis-Spirakis): key =
+                 -u^(1/w) with u a deterministic hash-uniform in (0,1)
     """
+    u = (F.pmod(F.xxhash64("root", "src", "dst"), F.lit(1_000_000_007)) + 1) / 1_000_000_008.0
     order = {
         "hash": [F.xxhash64("root", "src", "dst").asc()],
         "topk": [F.col("weight").desc(), F.col("dst").asc()],
+        "weighted": [(-F.pow(u, 1.0 / F.col("weight"))).asc(), F.col("dst").asc()],
     }[strategy]
 
     frontier = queries.select(F.col("root"), F.col("root").alias("src"))

@@ -27,6 +27,12 @@ def test_khop_sample_batch_kernel(spark):
     b = sorted((r["hop"], r["src"], r["dst"]) for r in out_hash.collect())
     assert a == b  # deterministic pseudo-random sampling
 
+    out_w = khop_sample(edges, queries, hops=1, fanout=3, strategy="weighted")
+    rows_w = out_w.collect()
+    assert len(rows_w) == 3 and len({r["dst"] for r in rows_w}) == 3
+    again = sorted((r["src"], r["dst"]) for r in out_w.collect())
+    assert again == sorted((r["src"], r["dst"]) for r in rows_w)  # deterministic
+
 
 def test_stream_khop_sampler_foreachbatch(spark, tmp_path):
     from libgrape_lite_spark.streaming import stream_khop_sampler
