@@ -125,20 +125,20 @@ def _source_id(spark, vertices) -> int:
     return vertices.where(F.col("oid") == SOURCE_OID).collect()[0]["id"]
 
 
-def _q_bfs(spark, sf_dir):
+def _q_bfs(spark, sf_dir, directed=False):
     from libgrape_lite_spark.operators import bfs
     from libgrape_lite_spark.operators.bfs import INT64_MAX
 
     vertices, edges = _graph(spark, sf_dir)
-    d = bfs(vertices, edges, source=_source_id(spark, vertices))
+    d = bfs(vertices, edges, source=_source_id(spark, vertices), directed=directed)
     return _with_oid(d.where(F.col("depth") < INT64_MAX), vertices, ["depth"])
 
 
-def _q_sssp(spark, sf_dir):
+def _q_sssp(spark, sf_dir, directed=False):
     from libgrape_lite_spark.operators import sssp
 
     vertices, edges = _graph(spark, sf_dir)
-    d = sssp(vertices, edges, source=_source_id(spark, vertices))
+    d = sssp(vertices, edges, source=_source_id(spark, vertices), directed=directed)
     return _with_oid(
         d.where(~F.isnan("dist") & (F.col("dist") != float("inf"))), vertices, ["dist"]
     ).select("oid", F.round("dist", 6).alias("dist"))
@@ -266,7 +266,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pagerank_directed": lambda s, d: _q_pagerank(s, d, directed=True),
         "cdlp": _q_cdlp,
         "bfs": _q_bfs,
+        "bfs_directed": lambda s, d: _q_bfs(s, d, directed=True),
         "sssp": _q_sssp,
+        "sssp_directed": lambda s, d: _q_sssp(s, d, directed=True),
         "lcc": _q_lcc,
         "triangle_count": _q_triangles,
         "dedup_exact": _q_dedup_exact,
@@ -426,23 +428,25 @@ def _sql_cdlp() -> str:
 SELECT oid, lab AS label_oid FROM {prev}"""
 
 
-def _sql_bfs() -> str:
+def _sql_bfs(directed: bool = False) -> str:
+    adj = "(SELECT src_oid AS s, dst_oid AS d FROM edges)" if directed else "uedges"
     return f"""WITH RECURSIVE {_EDGES},
 walk (oid, depth) AS (
   SELECT '{SOURCE_OID}', 0
   UNION
-  SELECT u.d, b.depth + 1 FROM walk b JOIN uedges u ON u.s = b.oid
+  SELECT u.d, b.depth + 1 FROM walk b JOIN {adj} u ON u.s = b.oid
   WHERE b.depth < {BFS_CAP}
 )
 SELECT oid, CAST(MIN(depth) AS BIGINT) AS depth FROM walk GROUP BY oid"""
 
 
-def _sql_sssp() -> str:
+def _sql_sssp(directed: bool = False) -> str:
+    adj = "(SELECT src_oid AS s, dst_oid AS d, weight AS w FROM edges)" if directed else "uedges"
     return f"""WITH RECURSIVE {_EDGES},
 walk (oid, dist) AS (
   SELECT '{SOURCE_OID}', CAST(0.0 AS DOUBLE)
   UNION
-  SELECT u.d, b.dist + u.w FROM walk b JOIN uedges u ON u.s = b.oid
+  SELECT u.d, b.dist + u.w FROM walk b JOIN {adj} u ON u.s = b.oid
   WHERE b.dist + u.w < {BFS_CAP}
 )
 SELECT oid, ROUND(MIN(dist), 6) AS dist FROM walk GROUP BY oid"""
@@ -629,7 +633,9 @@ def oracle_sql() -> dict[str, str]:
         "pagerank_directed": _sql_pagerank(directed=True),
         "cdlp": _sql_cdlp(),
         "bfs": _sql_bfs(),
+        "bfs_directed": _sql_bfs(directed=True),
         "sssp": _sql_sssp(),
+        "sssp_directed": _sql_sssp(directed=True),
         "lcc": _sql_lcc(),
         "triangle_count": _sql_triangles(),
         "dedup_exact": _sql_dedup_exact(),

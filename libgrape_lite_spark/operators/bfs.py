@@ -59,6 +59,13 @@ def bfs(
             )
             frontier = visited.select("id")
 
+        # Per round only the (usually tiny) frontier is materialized; the
+        # visited set accumulates lazily as a union of cached frontiers and
+        # is compacted every few rounds — one cheap job per superstep
+        # instead of rewriting O(V) state every level (deep chains ⇒ many
+        # near-empty levels; cf. the reference's bitset frontier,
+        # vertex_set.h).
+        since_compact = 0
         while max_rounds is None or step < max_rounds:
             t0 = time.time()
             step += 1
@@ -68,13 +75,18 @@ def bfs(
                 .distinct()
                 .join(visited.select("id"), "id", "left_anti")
                 .select("id", F.lit(step).cast("long").alias("depth"))
-            )
-            visited = drv.materialize(visited.unionByName(nxt), step)
-            frontier = visited.where(F.col("depth") == step).select("id")
-            active = frontier.count()
+            ).localCheckpoint(eager=True)
+            active = nxt.count()
+            visited = visited.unionByName(nxt)
+            since_compact += 1
+            if since_compact >= 8:
+                visited = drv.materialize(visited, step)
+                since_compact = 0
+            frontier = nxt.select("id")
             drv.log(step, active, time.time() - t0, op="bfs")
             if active == 0:
                 break
+        visited = drv.materialize(visited, step)
 
     drv.finish()
     return (
