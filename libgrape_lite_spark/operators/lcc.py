@@ -37,9 +37,23 @@ from pyspark.sql import functions as F
 from libgrape_lite_spark.functions.edges import undirected
 
 
-def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def triangle_counts(
+    vertices: DataFrame, edges: DataFrame, impl: str = "intersect"
+) -> DataFrame:
     """DataFrame(id, tri) — number of triangles containing each vertex
-    (set semantics on neighbors, reference stage 2)."""
+    (set semantics on neighbors, reference stage 2).
+
+    ``impl``:
+      * ``"intersect"`` (default) — per-edge sorted-neighbor-list
+        intersection (``array_intersect``, JVM-side): ship each oriented
+        adjacency list to the edges that need it and intersect in place —
+        the DataFrame rendition of the reference's hash-set probe
+        (lcc.h:154-186). Shuffles O(Σ deg_oriented) list payload, never
+        materializes the wedge set.
+      * ``"wedge"`` — classic 3-way wedge join; materializes
+        O(Σ deg_oriented²) wedge rows. Kept as the fallback for graphs
+        whose oriented adjacency lists are too fat for array payloads.
+    """
     doubled = undirected(edges.select("src", "dst"))
     deg = doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 
@@ -53,10 +67,23 @@ def triangle_counts(vertices: DataFrame, edges: DataFrame) -> DataFrame:
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
     ).select("src", "dst").localCheckpoint(eager=True)
 
-    e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
-    e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
-    triangles = e1.join(e2, "v").join(e3, ["u", "w"])  # each triangle once
+    if impl == "intersect":
+        adj_list = oriented.groupBy("src").agg(
+            F.sort_array(F.collect_list("dst")).alias("nbrs")
+        )
+        au = adj_list.select(F.col("src").alias("u"), F.col("nbrs").alias("nu"))
+        av = adj_list.select(F.col("src").alias("v"), F.col("nbrs").alias("nv"))
+        triangles = (
+            oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+            .join(au, "u")
+            .join(av, "v")  # v without oriented out-nbrs closes no triangle
+            .select("u", "v", F.explode(F.array_intersect("nu", "nv")).alias("w"))
+        )
+    else:
+        e1 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        e2 = oriented.select(F.col("src").alias("v"), F.col("dst").alias("w"))
+        e3 = oriented.select(F.col("src").alias("u"), F.col("dst").alias("w"))
+        triangles = e1.join(e2, "v").join(e3, ["u", "w"])  # each triangle once
 
     corners = (
         triangles.select(F.col("u").alias("id"))

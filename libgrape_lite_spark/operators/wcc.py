@@ -41,14 +41,23 @@ def wcc(
     edges: DataFrame,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
+    impl: str = "dataframe",
+    num_fragments: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id: long, comp: long).
 
     ``vertices(id)``, ``edges(src, dst, ...)`` — direction ignored
     (undirected doubling applied internally, SURVEY.md §1.4).
+
+    ``impl="kernel"`` routes the min-propagation through the per-fragment
+    Arrow gather-scatter kernel (plans/kernels.py, reduce_fn="min") — the
+    CSR-fragment path; ``"dataframe"`` (default) is the frontier-push join.
     """
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
+
+    if impl == "kernel":
+        return _wcc_kernel(vertices, edges, drv, max_rounds, num_fragments)
 
     with static_plans(spark):
         # Both directions once; parallel edges/self-loops add nothing to a
@@ -101,3 +110,52 @@ def wcc(
 
     drv.finish()
     return state.select("id", "comp")
+
+
+def _wcc_kernel(
+    vertices: DataFrame,
+    edges: DataFrame,
+    drv: IterationDriver,
+    max_rounds: int | None,
+    num_fragments: int | None,
+) -> DataFrame:
+    """Min-propagation over hash-co-partitioned fragments — every superstep
+    runs the NumPy gather kernel (ufunc.minimum.at per fragment, the
+    atomic_min analog, atomic_ops.h:49-68) and shuffles only per-fragment
+    minima."""
+    import time as _time
+
+    from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
+    from libgrape_lite_spark.session import static_plans
+
+    spark = vertices.sparkSession
+    with static_plans(spark):
+        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        adj = (
+            undirected(edges.select("src", "dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        adj = partition_edges(adj, nf).localCheckpoint(eager=True)
+
+        step = 0
+        state = drv.materialize(
+            vertices.select("id", F.col("id").cast("double").alias("comp")), step
+        )
+        while max_rounds is None or step < max_rounds:
+            t0 = _time.time()
+            step += 1
+            nbr_min = gather_scatter(adj, state, "comp", nf, reduce_fn="min")
+            new_state = state.join(nbr_min, "id", "left").select(
+                "id",
+                F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),
+                (F.col("gathered") < F.col("comp")).alias("changed"),
+            )
+            state = drv.materialize(new_state, step)
+            active = state.where("changed").count()
+            drv.log(step, active, _time.time() - t0, op="wcc_kernel")
+            if active == 0:
+                break
+
+    drv.finish()
+    return state.select("id", F.col("comp").cast("long").alias("comp"))

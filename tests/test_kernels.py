@@ -42,6 +42,29 @@ def test_gather_scatter_min(spark):
     assert got == {3: 4.0, 5: 9.0}
 
 
+def test_wcc_kernel_equals_dataframe(spark):
+    from libgrape_lite_spark.operators import wcc
+
+    v = make_vertices(spark, range(20))
+    e = make_edges(spark, [(i, i + 1) for i in range(8)] + [(12, 13), (13, 14), (17, 18)])
+    a = {r["id"]: r["comp"] for r in wcc(v, e).collect()}
+    b = {r["id"]: r["comp"] for r in wcc(v, e, impl="kernel", num_fragments=4).collect()}
+    assert a == b
+
+
+def test_lcc_wedge_equals_intersect(spark):
+    from libgrape_lite_spark.operators.lcc import triangle_counts
+
+    v = make_vertices(spark, range(12))
+    e = make_edges(
+        spark,
+        [(i, (i + 1) % 12) for i in range(12)] + [(i, (i + 2) % 12) for i in range(12)],
+    )
+    a = {r["id"]: r["tri"] for r in triangle_counts(v, e, impl="wedge").collect()}
+    b = {r["id"]: r["tri"] for r in triangle_counts(v, e, impl="intersect").collect()}
+    assert a == b
+
+
 def test_pagerank_kernel_equals_dataframe(spark):
     from libgrape_lite_spark.operators import pagerank
 
