@@ -102,7 +102,10 @@ def build_graph_from_transcripts(
     any edge; a fully isolated vertex set can be unioned in by callers that
     need LDBC .v-file semantics.
     """
-    e_oid = derive_edges(transcripts)
+    # materialize the derived edges once — they feed both the vertex
+    # dictionary (endpoints union) and the id-translation join; without
+    # this the 3-branch derivation recomputes per consumer
+    e_oid = derive_edges(transcripts).localCheckpoint(eager=True)
     endpoints = e_oid.select(F.col("src_oid").alias("oid")).unionByName(
         e_oid.select(F.col("dst_oid").alias("oid"))
     )

@@ -55,6 +55,7 @@ def pagerank(
     driver: IterationDriver | None = None,
     impl: str = "dataframe",
     num_fragments: int | None = None,
+    hub_salts: int = 0,
 ) -> DataFrame:
     """Returns DataFrame(id: long, rank: double).
 
@@ -67,6 +68,13 @@ def pagerank(
         shuffle only per-fragment partial sums — the CSR-fragment path of
         the reference (SURVEY.md §4.5), best when state exceeds the
         broadcast threshold.
+
+    ``hub_salts > 0`` — two-level salted gather (SURVEY.md §4.4, the skew
+    fix the reference's Rebalancer approximates): contributions are first
+    summed per (dst, salt) where salt spreads each destination's incoming
+    mass over ``hub_salts`` reducers, then per dst. Protects the combine
+    against hub vertices whose in-degree exceeds one reducer's capacity;
+    identical results (sum is associative), one extra vertex-sized shuffle.
     """
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
@@ -114,6 +122,20 @@ def pagerank(
 
             if impl == "kernel":
                 gathered = gather_scatter(adj, state, "r", nf, reduce_fn="sum")
+            elif hub_salts > 0:
+                contrib = adj.join(
+                    state.select(F.col("id").alias("src"), "r"), "src"
+                ).select(
+                    F.col("dst").alias("id"),
+                    "r",
+                    F.pmod(F.hash("src"), F.lit(hub_salts)).alias("_salt"),
+                )
+                gathered = (
+                    contrib.groupBy("id", "_salt")
+                    .agg(F.sum("r").alias("partial"))
+                    .groupBy("id")
+                    .agg(F.sum("partial").alias("gathered"))
+                )
             else:
                 gathered = (
                     adj.join(

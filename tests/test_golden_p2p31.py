@@ -128,6 +128,19 @@ def test_pagerank_kernel_impl(spark, graph):
     )
 
 
+def test_pagerank_hub_salted(spark, graph):
+    """Two-level salted gather (hub-skew protection) is result-identical."""
+    from libgrape_lite_spark.operators import pagerank
+
+    v, e = graph
+    check_close(
+        pagerank(v, e, damping=0.85, max_rounds=10, directed=False, hub_salts=8),
+        "rank",
+        "p2p-31-PR",
+        rtol=1e-6,
+    )
+
+
 def test_pagerank_directed(spark, graph):
     from libgrape_lite_spark.operators import pagerank
 
