@@ -41,8 +41,16 @@ def cdlp(
     max_rounds: int = 10,
     directed: bool = False,
     driver: IterationDriver | None = None,
+    impl: str = "dataframe",
+    num_fragments: int | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, label: long)."""
+    """Returns DataFrame(id: long, label: long).
+
+    ``impl="kernel"`` — per-fragment vote pre-counting (np.unique over
+    (voter, label) pairs, plans/kernels.py::gather_label_counts); only
+    partial counts shuffle. ``"dataframe"`` (default) — join + two-level
+    aggregate.
+    """
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
@@ -50,7 +58,16 @@ def cdlp(
         # keep parallel edges — multiplicity affects the vote (cdlp_utils.h:31-33)
         adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
         # gather joins on dst each round — pre-partition the edge side once
-        adj = adj.repartition("dst").localCheckpoint(eager=True)
+        if impl == "kernel":
+            from libgrape_lite_spark.plans.kernels import (
+                gather_label_counts,
+                partition_edges,
+            )
+
+            nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+            adj = partition_edges(adj, nf, key="dst").localCheckpoint(eager=True)
+        else:
+            adj = adj.repartition("dst").localCheckpoint(eager=True)
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:
@@ -63,11 +80,14 @@ def cdlp(
             t0 = time.time()
             step += 1
             # gather over out-adjacency: vertex u sees labels of its out-nbrs
-            counts = (
-                adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")
-                .groupBy(F.col("src").alias("id"), "label")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-            )
+            if impl == "kernel":
+                counts = gather_label_counts(adj, state, "label", nf)
+            else:
+                counts = (
+                    adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")
+                    .groupBy(F.col("src").alias("id"), "label")
+                    .agg(F.count(F.lit(1)).alias("cnt"))
+                )
             top = counts.groupBy("id").agg(
                 F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("m")
             ).select("id", (-F.col("m.neg")).alias("new_label"))

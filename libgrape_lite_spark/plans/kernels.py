@@ -40,10 +40,13 @@ _REDUCERS = {
 }
 
 
-def partition_edges(edges: DataFrame, num_fragments: int) -> DataFrame:
-    """Assign each edge to its source's fragment and co-locate — the
-    one-time `PrepareToRunApp` stage; cache the result across supersteps."""
-    withp = edges.withColumn("part", F.pmod(F.hash("src"), F.lit(num_fragments)))
+def partition_edges(edges: DataFrame, num_fragments: int, key: str = "src") -> DataFrame:
+    """Assign each edge to its ``key``-endpoint's fragment and co-locate —
+    the one-time `PrepareToRunApp` stage; cache the result across
+    supersteps. ``key="src"`` for gathers that read source state (PR, WCC
+    push); ``key="dst"`` for gathers that read destination state (CDLP
+    out-adjacency votes)."""
+    withp = edges.withColumn("part", F.pmod(F.hash(key), F.lit(num_fragments)))
     return withp.repartition(num_fragments, "part")
 
 
@@ -104,3 +107,55 @@ def gather_scatter(
     )
     agg = {"sum": F.sum, "min": F.min, "max": F.max}[reduce_fn]
     return partials.groupBy("id").agg(agg("gathered").alias("gathered"))
+
+
+def gather_label_counts(
+    edges_p: DataFrame,
+    state: DataFrame,
+    label_col: str,
+    num_fragments: int,
+) -> DataFrame:
+    """CDLP's vote gather as a fragment kernel: for every edge (u→v), u
+    receives one vote for label(v); per-fragment the kernel pre-counts
+    (u, label) pairs with ``np.unique`` — the per-fragment combine — and
+    only partial counts shuffle.
+
+    ``edges_p`` must be partitioned by **dst** owner
+    (``partition_edges`` on the flipped table or
+    ``pmod(hash(dst), P)``) so label lookups are fragment-local.
+    Returns DataFrame(id, label, cnt).
+    """
+
+    def kernel(key, edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        if edges_pdf.empty or state_pdf.empty:
+            return pd.DataFrame(
+                {"id": np.array([], dtype=np.int64),
+                 "label": np.array([], dtype=np.int64),
+                 "cnt": np.array([], dtype=np.int64)}
+            )
+        ids = state_pdf["id"].to_numpy(dtype=np.int64)
+        labels = state_pdf[label_col].to_numpy(dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids_sorted, labels_sorted = ids[order], labels[order]
+
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
+        dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        pos = np.searchsorted(ids_sorted, dst)
+        valid = (pos < len(ids_sorted)) & (
+            ids_sorted[np.minimum(pos, len(ids_sorted) - 1)] == dst
+        )
+        src = src[valid]
+        vote = labels_sorted[pos[valid]]
+        pairs = np.stack([src, vote], axis=1)
+        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        return pd.DataFrame(
+            {"id": uniq[:, 0], "label": uniq[:, 1], "cnt": counts.astype(np.int64)}
+        )
+
+    state_p = partition_state(state.select("id", label_col), num_fragments)
+    partials = (
+        edges_p.groupBy("part")
+        .cogroup(state_p.groupBy("part"))
+        .applyInPandas(kernel, schema="id long, label long, cnt long")
+    )
+    return partials.groupBy("id", "label").agg(F.sum("cnt").alias("cnt"))
