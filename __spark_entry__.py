@@ -28,6 +28,10 @@ BFS_CAP = 120
 SOURCE_OID = "conv_0:0"
 JACCARD_N = 2
 JACCARD_TAU = 0.35
+JACCARD_DF_CAP = 32  # shingle document-frequency cap (bounds the self-join)
+EMB_LSH_PLANES = 8
+EMB_LSH_TABLES = 8
+EMB_LSH_MULTIPROBE = 1
 
 # --------------------------------------------------------------------------
 # shared Spark-side graph construction (cached per sf_dir within a session)
@@ -189,7 +193,8 @@ def _q_jaccard_pairs(spark, sf_dir):
     from libgrape_lite_spark.functions.similarity import jaccard_pairs
 
     return jaccard_pairs(
-        _docs(spark, sf_dir), shingle_n=JACCARD_N, threshold=JACCARD_TAU
+        _docs(spark, sf_dir), shingle_n=JACCARD_N, threshold=JACCARD_TAU,
+        df_cap=JACCARD_DF_CAP,
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -213,9 +218,14 @@ def _q_embedding_dedup(spark, sf_dir):
     from libgrape_lite_spark.operators.dedup import dedup_embedding_cosine
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return dedup_embedding_cosine(emb, threshold=0.4).select(
-        "a", "b", F.round("cos", 6).alias("cos")
-    )
+    return dedup_embedding_cosine(
+        emb,
+        threshold=0.4,
+        method="lsh",
+        n_planes=EMB_LSH_PLANES,
+        n_tables=EMB_LSH_TABLES,
+        multiprobe=EMB_LSH_MULTIPROBE,
+    ).select("a", "b", F.round("cos", 6).alias("cos"))
 
 
 def _q_text_stats(spark, sf_dir):
@@ -527,8 +537,14 @@ FROM sig, (SELECT unnest(range(0, 4)) AS b) t"""
 
 
 def _sql_jaccard_pairs() -> str:
+    # Mirrors the Spark plan's df_cap: Jaccard over shingles with document
+    # frequency ≤ cap (set sizes recomputed over surviving shingles).
     return f"""WITH {_shingle_cte(JACCARD_N)},
-ex AS MATERIALIZED (SELECT doc_id, len(sh) AS n_sh, unnest(sh) AS s FROM shd),
+raw AS MATERIALIZED (SELECT doc_id, unnest(sh) AS s FROM shd),
+keep AS (SELECT s FROM (SELECT s, COUNT(*) AS c FROM raw GROUP BY 1) WHERE c <= {JACCARD_DF_CAP}),
+capped AS MATERIALIZED (SELECT r.doc_id, r.s FROM raw r JOIN keep USING (s)),
+sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM capped GROUP BY 1),
+ex AS MATERIALIZED (SELECT c.doc_id, c.s, z.n_sh FROM capped c JOIN sz z USING (doc_id)),
 inter AS (
   SELECT a.doc_id AS a, b.doc_id AS b, a.n_sh AS na, b.n_sh AS nb, COUNT(*) AS i
   FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -565,15 +581,47 @@ r AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 
 
+_EMB_DIM = 64  # driver-generated embeddings.parquet dimension (all SFs)
+
+
 def _sql_embedding_dedup() -> str:
-    return """WITH e AS (
-  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
-SELECT a.vec_id AS a, b.vec_id AS b,
-       ROUND(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cos
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4"""
+    """LSH-candidate near-dup, mirrored exactly: the deterministic md5
+    hyperplanes (operators/knn.py:_hyperplanes) are inlined as literals so
+    DuckDB computes the identical buckets (plane entries are *.5 halves —
+    exact in float64; min |dot| on the test corpora ≈ 1e-3, far above any
+    summation-order error, so sign parity is guaranteed)."""
+    from libgrape_lite_spark.operators.knn import _hyperplanes
+
+    rows = []
+    for t in range(EMB_LSH_TABLES):
+        pl = _hyperplanes(_EMB_DIM, EMB_LSH_PLANES, t)
+        for p in range(EMB_LSH_PLANES):
+            vals = ", ".join(f"{v:.1f}" for v in pl[p])
+            rows.append(f"({t}, {p}, [{vals}])")
+    planes = ",\n".join(rows)
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(tbl, p, pv) AS (VALUES
+{planes}),
+b AS MATERIALIZED (
+  SELECT e.vec_id, planes.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes GROUP BY 1, 2),
+probes AS (
+  SELECT vec_id, tbl, bucket FROM b
+  UNION ALL
+  SELECT vec_id, tbl, xor(bucket, CAST(1 << j AS BIGINT)) AS bucket
+  FROM b, (SELECT unnest(range(0, {EMB_LSH_PLANES})) AS j) r),
+cand AS (
+  SELECT DISTINCT l.vec_id AS a, r.vec_id AS b
+  FROM b l JOIN probes r ON l.tbl = r.tbl AND l.bucket = r.bucket AND l.vec_id < r.vec_id),
+s AS (
+  SELECT c.a, c.b,
+         list_dot_product(ea.v, eb.v)
+         / (sqrt(list_dot_product(ea.v, ea.v)) * sqrt(list_dot_product(eb.v, eb.v))) AS cos
+  FROM cand c JOIN e ea ON ea.vec_id = c.a JOIN e eb ON eb.vec_id = c.b)
+SELECT a, b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4"""
 
 
 def _lang_hits_sql(words: tuple[str, ...]) -> str:

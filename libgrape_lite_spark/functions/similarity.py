@@ -113,20 +113,40 @@ def cosine(a: Column, b: Column) -> Column:
 
 def jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    shingle_n: int = 3, threshold: float = 0.1,
+    shingle_n: int = 3, threshold: float = 0.1, df_cap: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
     Plan: explode distinct shingles → self-join on shingle (only co-shingled
     pairs materialize — the sparse analog of a full cross join) → count
-    intersection → Jaccard = |∩| / (|A|+|B|-|∩|). At 100 TB this is the
-    verification stage AFTER LSH candidate generation (operators/dedup.py);
-    standing alone it is exact and still never builds the dense pair matrix.
+    intersection → Jaccard = |∩| / (|A|+|B|-|∩|).
+
+    ``df_cap`` (the standalone-at-scale guard): drop shingles whose document
+    frequency exceeds the cap BEFORE the self-join, and compute Jaccard over
+    the surviving shingle sets (both |∩| and |A|/|B| — consistent set
+    semantics). A shingle shared by k docs yields k² join rows, so stopword
+    shingles ("of the") make the raw self-join quadratic; capped, the join
+    is bounded by Σ min(df, cap)² ≤ cap · Σ df = cap · O(corpus shingles) —
+    linear. High-Jaccard pairs lose almost nothing: a df>cap shingle is, by
+    definition, shared with thousands of non-duplicates. At 100 TB either
+    set a cap or feed LSH candidates to the verify stage instead
+    (operators/dedup.py:dedup_minhash).
     """
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    ex = base.select("id", "n_sh", F.explode("sh").alias("s"))
+    )
+    if df_cap is None:
+        ex = base.withColumn("n_sh", F.size("sh")).select(
+            "id", "n_sh", F.explode("sh").alias("s")
+        )
+    else:
+        raw = base.select("id", F.explode("sh").alias("s"))
+        keep = raw.groupBy("s").agg(F.count(F.lit(1)).alias("dfreq")).where(
+            F.col("dfreq") <= df_cap
+        )
+        capped = raw.join(keep.select("s"), "s")
+        sizes = capped.groupBy("id").agg(F.count(F.lit(1)).alias("n_sh"))
+        ex = capped.join(sizes, "id")
     a = ex.select(F.col("id").alias("a"), F.col("n_sh").alias("na"), "s")
     b = ex.select(F.col("id").alias("b"), F.col("n_sh").alias("nb"), "s")
     inter = (

@@ -78,13 +78,33 @@ def dedup_minhash(
     Returns (a, b, jaccard ≥ threshold). The verify stage joins candidate
     pairs back to shingle sets — cost proportional to candidates, not n².
     """
+    from libgrape_lite_spark.functions.text import shingles
+
     cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_n)
-    exact = jaccard_pairs(docs, id_col, text_col, shingle_n, threshold=0.0)
-    return (
-        cands.join(exact, ["a", "b"])
-        .where(F.col("jaccard") >= threshold)
-        .select("a", "b", "jaccard")
+    sh = docs.select(
+        F.col(id_col).alias("id"),
+        F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
+    ).withColumn("n_sh", F.size("sh"))
+    # Candidate-bounded verify: join the (few) candidate pairs to per-doc
+    # shingle arrays and intersect in place (array_intersect, JVM-side) —
+    # cost is O(candidates × avg shingles), never the co-shingle self-join.
+    verified = (
+        cands.join(
+            sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na")),
+            "a",
+        )
+        .join(
+            sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb")),
+            "b",
+        )
+        .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
+        .select(
+            "a",
+            "b",
+            (F.col("inter") / (F.col("na") + F.col("nb") - F.col("inter"))).alias("jaccard"),
+        )
     )
+    return verified.where(F.col("jaccard") >= threshold)
 
 
 def dedup_simhash(
@@ -131,13 +151,40 @@ def dedup_embedding_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
+    method: str = "lsh",
+    n_planes: int = 8,
+    n_tables: int = 8,
+    multiprobe: int = 1,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
-    """Embedding near-dup pairs with cosine ≥ threshold (brute-force
-    verify; see operators/knn.py for the LSH-bucketed scale path)."""
+    """Embedding near-dup pairs (a, b, cos ≥ threshold).
+
+    ``method="lsh"`` (default, the 100 TB path): candidates = pairs whose
+    deterministic hyperplane signatures agree within Hamming ≤ ``multiprobe``
+    in ≥1 of ``n_tables`` tables (operators/knn.py:lsh_candidate_pairs),
+    verified by exact cosine. The plan is explode + hash joins — linear in
+    corpus × n_tables, no CartesianProduct/BroadcastNestedLoopJoin
+    (asserted in scripts/audit_plans.py). The operator's contract is
+    therefore *LSH-candidate* near-dup (the semantics of every production
+    embedding-dedup system): recall < 1 for pairs barely above threshold;
+    identical/near-identical vectors always collide in every table.
+
+    ``method="exact"``: the brute-force all-pairs verifier — O(n²)
+    nested-loop join, test/oracle use ONLY, never a pipeline default.
+    """
     a = docs_emb.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     b = docs_emb.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
-    return (
-        a.join(b, F.col("a") < F.col("b"))
-        .select("a", "b", cosine(F.col("va"), F.col("vb")).alias("cos"))
-        .where(F.col("cos") >= threshold)
-    )
+    if method not in ("lsh", "exact"):
+        raise ValueError(f"method must be 'lsh' or 'exact', got {method!r}")
+    if method == "exact":
+        pairs = a.join(b, F.col("a") < F.col("b"))
+    else:
+        from libgrape_lite_spark.operators.knn import lsh_candidate_pairs
+
+        cands = lsh_candidate_pairs(
+            docs_emb, id_col, vec_col, n_planes, n_tables, multiprobe, bucket_cap
+        )
+        pairs = cands.join(a, "a").join(b, "b")
+    return pairs.select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)

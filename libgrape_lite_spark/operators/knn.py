@@ -111,6 +111,59 @@ def lsh_bucket_ids(
     return base.mapInPandas(project, schema="id long, table int, bucket long")
 
 
+def lsh_candidate_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    multiprobe: int = 1,
+    bucket_cap: int | None = None,
+) -> DataFrame:
+    """Self-join candidate pairs (a < b) whose hyperplane signatures agree
+    within Hamming distance ≤ ``multiprobe`` in at least one table.
+
+    The 100 TB-safe candidate generator for embedding dedup: shuffle is
+    linear in corpus × n_tables; each per-(table, bucket) join is a hash
+    join. Multiprobe is one-sided (the right side explodes its bucket into
+    all ≤ multiprobe bit-flips), so a pair at Hamming d ≤ multiprobe meets
+    on the left side's exact bucket — recall of L·(1+probes) tables at the
+    memory cost of L.
+
+    ``bucket_cap``: drop (table, bucket) groups with more than this many
+    members before the join — the skew guard for degenerate corpora (1k
+    byte-identical embeddings land in one bucket in EVERY table and would
+    emit C(1k,2) pairs per table; such rows are exact duplicates and belong
+    to the exact-dedup pass). Dropped-bucket counts are observable via
+    ``lsh_bucket_ids`` + a groupBy — candidates from capped buckets are
+    intentionally absent.
+    """
+    import itertools
+
+    b = lsh_bucket_ids(df, id_col, vec_col, n_planes, n_tables)
+    if bucket_cap is not None:
+        sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n"))
+        keep = sizes.where(F.col("n") <= bucket_cap).select("table", "bucket")
+        b = b.join(keep, ["table", "bucket"])
+    left = b.select(F.col("id").alias("a"), "table", F.col("bucket").alias("bk"))
+    masks = [0]
+    for r in range(1, multiprobe + 1):
+        masks += [sum(1 << j for j in c) for c in itertools.combinations(range(n_planes), r)]
+    if len(masks) > 1:
+        probes = F.explode(
+            F.array(*[F.col("bucket").bitwiseXOR(F.lit(m)) for m in masks])
+        )
+    else:
+        probes = F.col("bucket")
+    right = b.select(F.col("id").alias("b"), "table", probes.alias("bk"))
+    return (
+        left.join(right, ["table", "bk"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
 def knn_lsh(
     corpus: DataFrame,
     queries: DataFrame,

@@ -101,6 +101,28 @@ def main() -> int:
     results.append(("small frontier broadcast join", "BroadcastHashJoin" in p3, "see plan"))
     sections.append(("BFS frontier expansion", p3))
 
+    # 5. embedding dedup (LSH path): no cartesian / nested-loop join
+    from libgrape_lite_spark.operators.dedup import dedup_embedding_cosine, dedup_minhash
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    dd = dedup_embedding_cosine(emb, threshold=0.4, method="lsh")
+    p4 = plan_of(dd)
+    bad = ("CartesianProduct" in p4) or ("BroadcastNestedLoopJoin" in p4)
+    results.append(
+        ("embedding_dedup: LSH-bucketed, no CartesianProduct/BroadcastNestedLoopJoin",
+         not bad, "bucketed hash joins only" if not bad else "nested-loop join found"))
+    sections.append(("Embedding dedup (LSH candidates + exact-cosine verify)", p4))
+
+    # 6. minhash near-dup verify is candidate-bounded (array_intersect per
+    # candidate pair, not a co-shingle self-join aggregate)
+    docs_full = spark.read.parquet(f"{SF}/documents.parquet")
+    dm = dedup_minhash(docs_full, threshold=0.5, shingle_n=2)
+    p5 = plan_of(dm)
+    results.append(
+        ("dedup_minhash: candidate-bounded verify (array_intersect on candidate pairs)",
+         "array_intersect" in p5, "array_intersect in plan" if "array_intersect" in p5 else "missing"))
+    sections.append(("MinHash dedup verify stage", p5))
+
     ok = True
     lines = ["# PLANS — audited physical plans (scripts/audit_plans.py)\n"]
     for name, passed, ev in results:

@@ -127,3 +127,90 @@ def test_decode_stub_raises(spark):
 
     with pytest.raises(NotImplementedError):
         decode_image_stub("jpeg")
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_embedding_dedup_lsh_sound_recall_and_plan(spark):
+    """LSH path: pairs ⊆ exact pairs (same cosine), recall floor on real
+    testdata, and the plan has no cartesian/nested-loop join."""
+    from libgrape_lite_spark.operators.dedup import dedup_embedding_cosine
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    lsh = dedup_embedding_cosine(
+        emb, threshold=0.4, method="lsh", n_planes=8, n_tables=8, multiprobe=1
+    )
+    plan = _plan(lsh)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+    got = {(r["a"], r["b"]): r["cos"] for r in lsh.collect()}
+    exact = {
+        (r["a"], r["b"]): r["cos"]
+        for r in dedup_embedding_cosine(emb, threshold=0.4, method="exact").collect()
+    }
+    assert set(got) <= set(exact)  # soundness: every LSH pair is a true pair
+    for k, v in got.items():
+        assert v == pytest.approx(exact[k], rel=1e-12)
+    assert len(got) / len(exact) >= 0.6  # multiprobe recall floor (noise-pair regime)
+
+
+def test_lsh_bucket_cap_drops_degenerate_bucket(spark):
+    """300 identical vectors collide in every table; bucket_cap removes the
+    O(n²) pair blow-up while a planted distinct near-dup pair survives."""
+    import numpy as np
+
+    from libgrape_lite_spark.operators.knn import lsh_candidate_pairs
+
+    rng = np.random.default_rng(3)
+    v0 = rng.normal(size=16)
+    near = v0 + 0.01 * rng.normal(size=16)
+    distinct = rng.normal(size=16)
+    rows = [(i, [float(x) for x in distinct]) for i in range(300)]
+    rows += [(1000, [float(x) for x in v0]), (1001, [float(x) for x in near])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = lsh_candidate_pairs(emb, n_planes=8, n_tables=2, multiprobe=0).count()
+    assert uncapped >= 300 * 299 // 2  # degenerate block dominates
+    capped = lsh_candidate_pairs(
+        emb, n_planes=8, n_tables=2, multiprobe=0, bucket_cap=100
+    )
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (1000, 1001) in pairs  # planted near-dup survives
+    assert all(a >= 1000 for a, _ in pairs)  # block pairs dropped
+
+
+def test_jaccard_df_cap_set_semantics(spark):
+    """df_cap drops hot shingles from BOTH intersection and set sizes."""
+    from libgrape_lite_spark.functions.similarity import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(1, "x a"), (2, "x b"), (3, "x c"), (4, "x a d")],
+        "doc_id long, text string",
+    )
+    uncapped = {(r["a"], r["b"]): r["jaccard"] for r in
+                jaccard_pairs(docs, shingle_n=1, threshold=0.0).collect()}
+    assert uncapped[(1, 4)] == pytest.approx(2 / 3)  # {x,a} vs {x,a,d}
+    capped = {(r["a"], r["b"]): r["jaccard"] for r in
+              jaccard_pairs(docs, shingle_n=1, threshold=0.0, df_cap=3).collect()}
+    # x has df 4 > 3 → dropped everywhere: {a} vs {a,d} = 1/2; x-only pairs gone
+    assert capped[(1, 4)] == pytest.approx(1 / 2)
+    assert (1, 2) not in capped and (2, 3) not in capped
+
+
+def test_dedup_minhash_verify_candidate_bounded(spark, docs):
+    """Verify stage computes Jaccard via array_intersect on candidate pairs
+    (plan check) and still returns exact Jaccard values."""
+    from libgrape_lite_spark.functions.similarity import jaccard_pairs
+    from libgrape_lite_spark.operators.dedup import dedup_minhash
+
+    dm = dedup_minhash(docs, threshold=0.3, shingle_n=2)
+    assert "array_intersect" in _plan(dm)
+    got = {(r["a"], r["b"]): r["jaccard"] for r in dm.collect()}
+    full = {(r["a"], r["b"]): r["jaccard"] for r in
+            jaccard_pairs(docs, shingle_n=2, threshold=0.3).collect()}
+    for k, v in got.items():  # every verified pair carries the exact Jaccard
+        assert v == pytest.approx(full[k], rel=1e-12)
+    assert (1, 2) in got
