@@ -38,10 +38,20 @@ from libgrape_lite_spark.functions.edges import undirected
 
 
 def triangle_counts(
-    vertices: DataFrame, edges: DataFrame, impl: str = "intersect"
+    vertices: DataFrame, edges: DataFrame, impl: str = "intersect",
+    degree_threshold: int | None = None,
 ) -> DataFrame:
     """DataFrame(id, tri) — number of triangles containing each vertex
     (set semantics on neighbors, reference stage 2).
+
+    ``degree_threshold`` — the reference's super-hub escape hatch
+    (lcc.h:234-243 ``filterByDegree``, flags.cc:36 ``--degree_threshold``):
+    vertices whose (duplicate-counting) degree exceeds the threshold build
+    no oriented adjacency and join no intersection, so every triangle
+    containing such a vertex is uncounted and the vertex's own count is 0.
+    At 100 TB this bounds the fattest oriented adjacency list (a tool-hub
+    vertex with 10⁹ neighbors would otherwise dominate the wedge/intersect
+    stage); ``None`` = exact (reference default: int max).
 
     ``impl``:
       * ``"intersect"`` (default) — per-edge sorted-neighbor-list
@@ -62,6 +72,14 @@ def triangle_counts(
         nbr.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")), "src")
         .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")), "dst")
     )
+    if degree_threshold is not None:
+        # reference parity: an edge with EITHER endpoint above the threshold
+        # never enters the oriented graph (a filtered hub appears in w's
+        # list only if deg(hub) < deg(w), making w filtered too — so all
+        # incident edges vanish, lcc.h:98,164).
+        ranked = ranked.where(
+            (F.col("sdeg") <= degree_threshold) & (F.col("ddeg") <= degree_threshold)
+        )
     oriented = ranked.where(
         (F.col("sdeg") < F.col("ddeg"))
         | ((F.col("sdeg") == F.col("ddeg")) & (F.col("src") < F.col("dst")))
@@ -93,15 +111,20 @@ def triangle_counts(
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
 
 
-def lcc(vertices: DataFrame, edges: DataFrame) -> DataFrame:
+def lcc(
+    vertices: DataFrame, edges: DataFrame, degree_threshold: int | None = None
+) -> DataFrame:
     """Returns DataFrame(id: long, lcc: double).
 
     degree = doubled-with-duplicates adjacency length (reference parity);
-    triangles use deduplicated neighbor sets.
+    triangles use deduplicated neighbor sets. ``degree_threshold`` filters
+    super-hubs out of triangle counting (see :func:`triangle_counts`); the
+    lcc denominator keeps the ORIGINAL degree, so filtered vertices emit
+    0.0 exactly like the reference (tricnt stays 0, lcc.h:217-231).
     """
     doubled = undirected(edges.select("src", "dst"))
     deg = doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    tri = triangle_counts(vertices, edges)
+    tri = triangle_counts(vertices, edges, degree_threshold=degree_threshold)
 
     return (
         vertices.select("id")

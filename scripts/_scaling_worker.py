@@ -10,6 +10,7 @@ Prints one JSON line.
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 from pathlib import Path
@@ -23,17 +24,38 @@ def main() -> None:
     cores = int(sys.argv[1])
     n_conversations = int(sys.argv[2])
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
+    # optional 4th arg: a spark:// master URL — run against a real
+    # standalone cluster (bench_scaling_standalone.py) instead of local[N];
+    # ``cores`` is then the TOTAL core budget (spark.cores.max).
+    master_url = sys.argv[4] if len(sys.argv) > 4 else None
 
     from libgrape_lite_spark import get_spark
     from libgrape_lite_spark.functions.edges import build_graph_from_transcripts
     from libgrape_lite_spark.operators import pagerank
     from libgrape_lite_spark.sources.transcripts import synthesize_transcripts
 
-    spark = get_spark(
-        app_name=f"scaling-local{cores}",
-        master=f"local[{cores}]",
-        shuffle_partitions=cores,
-    )
+    if master_url:
+        repo = Path(__file__).resolve().parent.parent
+        pyzip = repo / "dist" / "libgrape_lite_spark.zip"
+        exec_cores = int(os.environ.get("SPARK_GRAFT_EXEC_CORES", "8"))
+        spark = get_spark(
+            app_name=f"scaling-cluster{cores}",
+            master=master_url,
+            shuffle_partitions=cores,
+            extra_conf={
+                "spark.executor.cores": str(min(exec_cores, cores)),
+                "spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "14g"),
+                "spark.cores.max": str(cores),
+                "spark.submit.pyFiles": str(pyzip),
+            },
+        )
+        spark.sparkContext.addPyFile(str(pyzip))
+    else:
+        spark = get_spark(
+            app_name=f"scaling-local{cores}",
+            master=f"local[{cores}]",
+            shuffle_partitions=cores,
+        )
     spark.sparkContext.setLogLevel("ERROR")
     t = synthesize_transcripts(spark, n_conversations, seed=seed).localCheckpoint(
         eager=True

@@ -111,3 +111,49 @@ def test_lcc_matches_bruteforce(spark):
     }
     for v in range(n):
         assert got[v] == pytest.approx(want[v]), v
+
+
+def test_lcc_degree_threshold_matches_filtered_bruteforce(spark):
+    """Reference --degree_threshold parity (lcc.h:234-243): edges with an
+    endpoint whose degree exceeds the threshold leave the oriented graph,
+    so triangles through hubs vanish everywhere; denominators keep the
+    original degree; thr=huge equals the exact result."""
+    from libgrape_lite_spark.operators import lcc
+
+    # hub 0 touches everyone; 1-2-3 is a hub-free triangle; 0-1-2 / 0-2-3
+    # are hub triangles that must disappear under the threshold
+    edges = [(0, 1), (0, 2), (0, 3), (0, 4), (0, 5), (1, 2), (2, 3), (1, 3), (4, 5)]
+    n = 6
+    deg = [0] * n
+    for s, d in edges:
+        deg[s] += 1
+        deg[d] += 1
+    thr = 4  # deg(0) = 5 > 4 → filtered
+
+    def brute(threshold):
+        nbrs = [set() for _ in range(n)]
+        for s, d in edges:
+            if s != d and deg[s] <= threshold and deg[d] <= threshold:
+                nbrs[s].add(d)
+                nbrs[d].add(s)
+        tri = [0] * n
+        for a in range(n):
+            for b in nbrs[a]:
+                for c in nbrs[a]:
+                    if b < c and c in nbrs[b]:
+                        tri[a] += 1
+        return {
+            v: (2.0 * tri[v] / (deg[v] * (deg[v] - 1)) if deg[v] >= 2 else 0.0)
+            for v in range(n)
+        }
+
+    v, e = make_vertices(spark, range(n)), make_edges(spark, edges)
+    got = {r["id"]: r["lcc"] for r in lcc(v, e, degree_threshold=thr).collect()}
+    want = brute(thr)
+    for u in range(n):
+        assert got[u] == pytest.approx(want[u]), u
+    assert got[0] == 0.0  # the filtered hub reports 0 like the reference
+    # sanity: a huge threshold reproduces the exact LCC
+    exact = {r["id"]: r["lcc"] for r in lcc(v, e, degree_threshold=10**9).collect()}
+    noflt = {r["id"]: r["lcc"] for r in lcc(v, e).collect()}
+    assert exact == noflt
