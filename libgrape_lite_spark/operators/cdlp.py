@@ -51,6 +51,8 @@ def cdlp(
     partial counts shuffle. ``"dataframe"`` (default) — join + two-level
     aggregate.
     """
+    if impl not in ("dataframe", "kernel"):
+        raise ValueError(f"impl must be dataframe|kernel, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 

@@ -64,6 +64,8 @@ def triangle_counts(
         O(Σ deg_oriented²) wedge rows. Kept as the fallback for graphs
         whose oriented adjacency lists are too fat for array payloads.
     """
+    if impl not in ("intersect", "wedge"):
+        raise ValueError(f"impl must be intersect|wedge, got {impl!r}")
     doubled = undirected(edges.select("src", "dst"))
     deg = doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
 

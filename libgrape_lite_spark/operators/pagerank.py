@@ -76,6 +76,8 @@ def pagerank(
     against hub vertices whose in-degree exceeds one reducer's capacity;
     identical results (sum is associative), one extra vertex-sized shuffle.
     """
+    if impl not in ("dataframe", "kernel"):
+        raise ValueError(f"impl must be dataframe|kernel, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 

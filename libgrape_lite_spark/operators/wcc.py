@@ -43,21 +43,36 @@ def wcc(
     max_rounds: int | None = None,
     impl: str = "dataframe",
     num_fragments: int | None = None,
+    jump: bool = True,
 ) -> DataFrame:
     """Returns DataFrame(id: long, comp: long).
 
     ``vertices(id)``, ``edges(src, dst, ...)`` — direction ignored
     (undirected doubling applied internally, SURVEY.md §1.4).
 
-    ``impl="kernel"`` routes the min-propagation through the per-fragment
-    Arrow gather-scatter kernel (plans/kernels.py, reduce_fn="min") — the
-    CSR-fragment path; ``"dataframe"`` (default) is the frontier-push join.
+    ``impl``:
+      * ``"dataframe"`` (default) — frontier-push join; with ``jump=True``
+        each round adds a pointer-jump self-join (``comp' = comp[comp]``,
+        the shortcutting half of Kiveris et al.'s two-phase rounds), so
+        convergence needs O(log diameter) instead of O(diameter) rounds —
+        the win on deep reply chains.
+      * ``"kernel"`` — per-fragment Arrow gather-scatter (reduce_fn="min",
+        long-typed end-to-end; exact past 2^53 vertex ids).
+      * ``"auto"`` — wcc_auto parity (wcc_auto.h:46-135): range-partitioned
+        fragments run a LOCAL min-label fixpoint per superstep
+        (plans/kernels.py:local_min_fixpoint), so each global round does
+        O(local diameter) plain rounds' work; conversation chains occupy
+        contiguous dense-id ranges and collapse in superstep 1.
     """
+    if impl not in ("dataframe", "kernel", "auto"):
+        raise ValueError(f"impl must be dataframe|kernel|auto, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
     if impl == "kernel":
         return _wcc_kernel(vertices, edges, drv, max_rounds, num_fragments)
+    if impl == "auto":
+        return _wcc_kernel_auto(vertices, edges, drv, max_rounds, num_fragments)
 
     with static_plans(spark):
         # Both directions once; parallel edges/self-loops add nothing to a
@@ -97,11 +112,28 @@ def wcc(
                 .groupBy(F.col("dst").alias("id"))
                 .agg(F.min("comp").alias("nbr_comp"))
             )
-            new_state = state.select("id", "comp").join(nbr_min, "id", "left").select(
-                "id",
-                F.least("comp", F.coalesce("nbr_comp", "comp")).alias("comp"),
-                (F.col("nbr_comp") < F.col("comp")).alias("changed"),
+            half = state.select("id", F.col("comp").alias("comp0")).join(
+                nbr_min, "id", "left"
+            ).select(
+                "id", "comp0", F.least("comp0", F.coalesce("nbr_comp", "comp0")).alias("comp")
             )
+            if jump:
+                # pointer jump (comp' = comp[comp]): every label is a vertex
+                # id, so one O(V) self-join per round halves the remaining
+                # label-tree height — O(log d) total rounds. Labels only
+                # decrease, so coalesce(least) keeps monotonicity.
+                jump_map = half.select(
+                    F.col("id").alias("comp"), F.col("comp").alias("comp2")
+                )
+                new_state = half.join(jump_map, "comp", "left").select(
+                    "id",
+                    F.least("comp", F.coalesce("comp2", "comp")).alias("comp"),
+                    (F.least("comp", F.coalesce("comp2", "comp")) < F.col("comp0")).alias("changed"),
+                )
+            else:
+                new_state = half.select(
+                    "id", "comp", (F.col("comp") < F.col("comp0")).alias("changed")
+                )
             state = drv.materialize(new_state, step)
             active = state.where("changed").count()
             drv.log(step, active, time.time() - t0, op="wcc")
@@ -122,7 +154,8 @@ def _wcc_kernel(
     """Min-propagation over hash-co-partitioned fragments — every superstep
     runs the NumPy gather kernel (ufunc.minimum.at per fragment, the
     atomic_min analog, atomic_ops.h:49-68) and shuffles only per-fragment
-    minima."""
+    minima. Long-typed end-to-end: component labels are vertex ids and
+    never pass through double (exact past 2^53)."""
     import time as _time
 
     from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
@@ -140,12 +173,14 @@ def _wcc_kernel(
 
         step = 0
         state = drv.materialize(
-            vertices.select("id", F.col("id").cast("double").alias("comp")), step
+            vertices.select("id", F.col("id").alias("comp")), step
         )
         while max_rounds is None or step < max_rounds:
             t0 = _time.time()
             step += 1
-            nbr_min = gather_scatter(adj, state, "comp", nf, reduce_fn="min")
+            nbr_min = gather_scatter(
+                adj, state, "comp", nf, reduce_fn="min", value_dtype="long"
+            )
             new_state = state.join(nbr_min, "id", "left").select(
                 "id",
                 F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),
@@ -158,4 +193,60 @@ def _wcc_kernel(
                 break
 
     drv.finish()
-    return state.select("id", F.col("comp").cast("long").alias("comp"))
+    return state.select("id", "comp")
+
+
+def _wcc_kernel_auto(
+    vertices: DataFrame,
+    edges: DataFrame,
+    drv: IterationDriver,
+    max_rounds: int | None,
+    num_fragments: int | None,
+) -> DataFrame:
+    """PIE-model WCC (wcc_auto.h:46-135): every superstep each RANGE-
+    partitioned fragment runs a local min-label fixpoint over its own edges
+    (plans/kernels.py:local_min_fixpoint) and ships only improved labels;
+    the global combine is groupBy(id).min. Dense ids are oid-ordered, so a
+    conversation's reply chain is a contiguous id range → one fragment →
+    collapses entirely in superstep 1; remaining supersteps reconcile only
+    cross-fragment edges (tool hubs, role vertices). Superstep count drops
+    from O(diameter) to O(cross-fragment diameter)."""
+    import time as _time
+
+    from libgrape_lite_spark.plans.kernels import local_min_fixpoint, segment_part
+    from libgrape_lite_spark.session import static_plans
+
+    spark = vertices.sparkSession
+    with static_plans(spark):
+        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        id_bound = int(vertices.agg(F.max("id")).collect()[0][0]) + 1
+        adj = (
+            undirected(edges.select("src", "dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("part", segment_part("src", nf, id_bound))
+            .repartition(nf, "part")
+            .localCheckpoint(eager=True)
+        )
+
+        step = 0
+        state = drv.materialize(
+            vertices.select("id", F.col("id").alias("comp")), step
+        )
+        while max_rounds is None or step < max_rounds:
+            t0 = _time.time()
+            step += 1
+            nbr_min = local_min_fixpoint(adj, state, "comp", nf, id_bound=id_bound)
+            new_state = state.join(nbr_min, "id", "left").select(
+                "id",
+                F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),
+                (F.col("gathered") < F.col("comp")).alias("changed"),
+            )
+            state = drv.materialize(new_state, step)
+            active = state.where("changed").count()
+            drv.log(step, active, _time.time() - t0, op="wcc_auto")
+            if active == 0:
+                break
+
+    drv.finish()
+    return state.select("id", "comp")

@@ -39,6 +39,15 @@ _REDUCERS = {
     "max": (np.maximum, -np.inf),
 }
 
+# exact long-typed path: vertex-id-valued state (WCC component labels) must
+# never round-trip through double — exact only below 2^53, silently wrong at
+# the 10^12-vertex posture. Long reducers use int64 sentinels.
+_REDUCERS_LONG = {
+    "sum": (np.add, 0),
+    "min": (np.minimum, np.iinfo(np.int64).max),
+    "max": (np.maximum, np.iinfo(np.int64).min),
+}
+
 
 def partition_edges(edges: DataFrame, num_fragments: int, key: str = "src") -> DataFrame:
     """Assign each edge to its ``key``-endpoint's fragment and co-locate —
@@ -61,22 +70,26 @@ def gather_scatter(
     num_fragments: int,
     reduce_fn: str = "sum",
     weight_col: str | None = None,
+    value_dtype: str = "double",
 ) -> DataFrame:
     """One message superstep: for every edge (v→u), send
     ``state[v].value (op weight)`` to u; combine with ``reduce_fn``.
 
     Returns DataFrame(id, gathered). ``edges_p`` must come from
     :func:`partition_edges` (and be cached by the caller).
+    ``value_dtype="long"`` keeps the whole path in int64 (id-valued state).
     """
-    np_op, init = _REDUCERS[reduce_fn]
+    is_long = value_dtype == "long"
+    np_op, init = (_REDUCERS_LONG if is_long else _REDUCERS)[reduce_fn]
+    np_dtype = np.int64 if is_long else np.float64
     use_weight = weight_col is not None
 
     def kernel(key, edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty or state_pdf.empty:
             return pd.DataFrame({"id": np.array([], dtype=np.int64),
-                                 "gathered": np.array([], dtype=np.float64)})
+                                 "gathered": np.array([], dtype=np_dtype)})
         ids = state_pdf["id"].to_numpy(dtype=np.int64)
-        vals = state_pdf[value_col].to_numpy(dtype=np.float64)
+        vals = state_pdf[value_col].to_numpy(dtype=np_dtype)
         order = np.argsort(ids, kind="stable")
         ids_sorted, vals_sorted = ids[order], vals[order]
 
@@ -88,14 +101,14 @@ def gather_scatter(
         pos, dst = pos[valid], dst[valid]
         contrib = vals_sorted[pos]
         if use_weight:
-            contrib = contrib + edges_pdf[weight_col].to_numpy(dtype=np.float64)[valid]
+            contrib = contrib + edges_pdf[weight_col].to_numpy(dtype=np_dtype)[valid]
 
         # per-fragment combine: factorize dst → dense codes → bincount/reduceat
         dst_unique, codes = np.unique(dst, return_inverse=True)
-        if reduce_fn == "sum":
+        if reduce_fn == "sum" and not is_long:
             partial = np.bincount(codes, weights=contrib, minlength=len(dst_unique))
         else:
-            partial = np.full(len(dst_unique), init)
+            partial = np.full(len(dst_unique), init, dtype=np_dtype)
             np_op.at(partial, codes, contrib)
         return pd.DataFrame({"id": dst_unique, "gathered": partial})
 
@@ -103,10 +116,93 @@ def gather_scatter(
     partials = (
         edges_p.groupBy("part")
         .cogroup(state_p.groupBy("part"))
-        .applyInPandas(kernel, schema="id long, gathered double")
+        .applyInPandas(kernel, schema=f"id long, gathered {value_dtype}")
     )
     agg = {"sum": F.sum, "min": F.min, "max": F.max}[reduce_fn]
     return partials.groupBy("id").agg(agg("gathered").alias("gathered"))
+
+
+def segment_part(col: str, num_fragments: int, id_bound: int):
+    """SegmentedPartitioner expression (partitioner.h:58-90): contiguous id
+    ranges → fragments, integer arithmetic only (exact past 2^53)."""
+    return F.expr(f"CAST(({col} * {num_fragments}) DIV {id_bound} AS INT)")
+
+
+def local_min_fixpoint(
+    edges_p: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    num_fragments: int,
+    id_bound: int | None = None,
+) -> DataFrame:
+    """wcc_auto-style PEval (wcc_auto.h:46-135): per fragment, propagate min
+    labels through the fragment's LOCAL edges to a local fixpoint before
+    anything shuffles — the PIE model's "partial evaluation". One global
+    superstep with this kernel does what O(local diameter) plain gather
+    supersteps do; with range-partitioned edges (SegmentedPartitioner
+    analog) a whole conversation chain collapses in a single superstep.
+
+    Emits (id, gathered: long) ONLY for vertices whose local label improved
+    on what the fragment already knew — the per-fragment message dedup +
+    the "changed" filter of the reference's message protocol. Global
+    combine: ``groupBy(id).min``.
+
+    Vectorized Shiloach-Vishkin-ish loop: per iteration one scatter-min
+    over local edges plus one label pointer-jump (labels that are local
+    vertex ids chase their target's label), so a chain of length L needs
+    O(log L) iterations, each O(E_local + V_local) NumPy.
+    """
+
+    def kernel(key, edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": np.array([], dtype=np.int64),
+                              "gathered": np.array([], dtype=np.int64)})
+        if edges_pdf.empty:
+            return empty
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
+        dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        sids = state_pdf["id"].to_numpy(dtype=np.int64) if not state_pdf.empty else np.array([], dtype=np.int64)
+        svals = state_pdf[value_col].to_numpy(dtype=np.int64) if not state_pdf.empty else np.array([], dtype=np.int64)
+
+        nodes = np.unique(np.concatenate([src, dst, sids]))
+        n = len(nodes)
+        comp = nodes.copy()  # unknown state defaults to own id (hash-min init)
+        spos = np.searchsorted(nodes, sids)
+        np.minimum.at(comp, spos, svals)
+        known = comp.copy()  # what the fragment already knew per node
+        sc = np.searchsorted(nodes, src)
+        dc = np.searchsorted(nodes, dst)
+
+        while True:
+            new = comp.copy()
+            np.minimum.at(new, dc, comp[sc])  # edge scatter (doubled upstream)
+            # pointer jump: labels that name a LOCAL vertex adopt its label
+            lpos = np.searchsorted(nodes, new)
+            lpos_c = np.minimum(lpos, n - 1)
+            is_local = nodes[lpos_c] == new
+            jumped = np.where(is_local, comp[lpos_c], new)
+            new = np.minimum(new, jumped)
+            if np.array_equal(new, comp):
+                break
+            comp = new
+
+        improved = comp < known
+        return pd.DataFrame({"id": nodes[improved], "gathered": comp[improved]})
+
+    # state must ride the SAME partitioner as the edges' src (hash by
+    # default, segmented when id_bound is given) so the cogroup pairs each
+    # fragment with exactly its inner vertices' state
+    if id_bound is not None:
+        state_p = state.select("id", value_col).withColumn(
+            "part", segment_part("id", num_fragments, id_bound)
+        )
+    else:
+        state_p = partition_state(state.select("id", value_col), num_fragments)
+    partials = (
+        edges_p.groupBy("part")
+        .cogroup(state_p.groupBy("part"))
+        .applyInPandas(kernel, schema="id long, gathered long")
+    )
+    return partials.groupBy("id").agg(F.min("gathered").alias("gathered"))
 
 
 def gather_label_counts(

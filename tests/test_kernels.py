@@ -92,3 +92,44 @@ def test_pagerank_kernel_equals_dataframe(spark):
          pagerank(v, e, max_rounds=6, impl="kernel", num_fragments=4).collect()}
     for k in a:
         assert b[k] == pytest.approx(a[k], rel=1e-10)
+
+
+def test_wcc_auto_equals_dataframe(spark):
+    """PIE local-fixpoint kernel (impl='auto') matches the join fixpoint on
+    a multi-chain + cross-link graph (chains exercise the local collapse)."""
+    from libgrape_lite_spark.operators import wcc
+    from tests.conftest import make_edges, make_vertices
+
+    # two long chains + a bridge + an isolated pair + a self-loop
+    edges = [(i, i + 1) for i in range(0, 19)] + [(30, 31), (5, 40), (40, 41), (7, 7)]
+    ids = sorted({x for e in edges for x in e})
+    v, e = make_vertices(spark, ids), make_edges(spark, edges)
+    want = {r["id"]: r["comp"] for r in wcc(v, e, impl="dataframe").collect()}
+    got = {r["id"]: r["comp"] for r in wcc(v, e, impl="auto", num_fragments=4).collect()}
+    assert got == want
+
+
+def test_wcc_kernel_long_ids_past_2_53(spark):
+    """Long-typed gather: component ids above 2^53 survive exactly (the
+    old double path would round them)."""
+    from libgrape_lite_spark.operators import wcc
+
+    base = (1 << 53) + 1  # odd; double would round to 2^53
+    ids = [base, base + 1, base + 3]
+    edges = [(base, base + 1)]
+    v = spark.createDataFrame([(i,) for i in ids], "id long")
+    e = spark.createDataFrame([(s, d, 1.0) for s, d in edges], "src long, dst long, weight double")
+    got = {r["id"]: r["comp"] for r in wcc(v, e, impl="kernel", num_fragments=2).collect()}
+    assert got == {base: base, base + 1: base, base + 3: base + 3}
+
+
+def test_wcc_jump_off_equals_on(spark):
+    from libgrape_lite_spark.operators import wcc
+    from tests.conftest import make_edges, make_vertices
+
+    edges = [(i, i + 1) for i in range(0, 12)] + [(3, 20), (20, 21)]
+    ids = sorted({x for e in edges for x in e})
+    v, e = make_vertices(spark, ids), make_edges(spark, edges)
+    a = {r["id"]: r["comp"] for r in wcc(v, e, jump=True).collect()}
+    b = {r["id"]: r["comp"] for r in wcc(v, e, jump=False).collect()}
+    assert a == b
