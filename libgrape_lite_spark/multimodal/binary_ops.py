@@ -68,15 +68,45 @@ def extract_features(df: DataFrame) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for did, payload, meta in zip(pdf["doc_id"], pdf["payload"], pdf["meta"]):
-                if meta["codec"] != "fake-rgb8":
-                    decode_image_stub(meta["codec"])
-                img = _fake_decode(payload, meta["width"], meta["height"])
-                m = img.reshape(-1, 3).mean(axis=0)
-                rows.append((did, float(m[0]), float(m[1]), float(m[2]), len(payload)))
+            if pdf.empty:
+                continue
+            codecs = pdf["meta"].map(lambda m: m["codec"])
+            bad = codecs[codecs != "fake-rgb8"]
+            if len(bad):
+                decode_image_stub(bad.iloc[0])
+            # one flat concat + segment reduction over the whole Arrow batch
+            # (no per-row Python): the fake decode tiles payload bytes to
+            # w*h*3, so channel means are means over byte positions ≡ c mod 3
+            # of the tiled stream — computed with np.add.reduceat on the
+            # concatenated buffer.
+            n = len(pdf)
+            widths = pdf["meta"].map(lambda m: m["width"]).to_numpy(np.int64)
+            heights = pdf["meta"].map(lambda m: m["height"]).to_numpy(np.int64)
+            # empty payloads decode as a single zero byte (all-zero tensor) —
+            # keeps the flat-buffer index math total
+            payloads = pdf["payload"].map(lambda p: p if len(p) else b"\x00")
+            lens = payloads.map(len).to_numpy(np.int64)
+            need = widths * heights * 3
+            # batch-flat buffer (one C-level join), then pure index math:
+            # row i's tiled byte j is flat[flat_start_i + (j mod len_i)]
+            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            flat_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            tiled_starts = np.concatenate([[0], np.cumsum(need)[:-1]])
+            row = np.repeat(np.arange(n), need)
+            j = np.arange(int(need.sum())) - tiled_starts[row]
+            tiled = flat[flat_starts[row] + (j % lens[row])]
+            # one bincount for all (row, channel) cells
+            code = row * 3 + (j % 3)
+            sums = np.bincount(code, weights=tiled, minlength=3 * n).reshape(n, 3)
+            means = sums / (widths * heights)[:, None]
             yield pd.DataFrame(
-                rows, columns=["doc_id", "mean_r", "mean_g", "mean_b", "n_bytes"]
+                {
+                    "doc_id": pdf["doc_id"].to_numpy(),
+                    "mean_r": means[:, 0],
+                    "mean_g": means[:, 1],
+                    "mean_b": means[:, 2],
+                    "n_bytes": pdf["payload"].map(len).to_numpy(np.int64),
+                }
             )
 
     return df.select("doc_id", "payload", "meta").mapInPandas(
@@ -92,14 +122,24 @@ def frame_sample(df: DataFrame, every_n_bytes: int = 64) -> DataFrame:
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, vals = [], [], []
-            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
-                sampled = payload[::every_n_bytes]
-                for i, b in enumerate(sampled):
-                    ids.append(did)
-                    idxs.append(i)
-                    vals.append(int(b))
-            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "byte": vals})
+            if pdf.empty:
+                continue
+            lens = pdf["payload"].map(len).to_numpy(np.int64)
+            flat = np.frombuffer(b"".join(pdf["payload"]), dtype=np.uint8)
+            flat_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+            counts = -(-lens // every_n_bytes)  # ceil — samples per row
+            row = np.repeat(np.arange(len(pdf)), counts)
+            frame_idx = np.arange(int(counts.sum())) - np.repeat(
+                np.concatenate([[0], np.cumsum(counts)[:-1]]), counts
+            )
+            sampled = flat[flat_starts[row] + frame_idx * every_n_bytes]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].to_numpy()[row],
+                    "frame_idx": frame_idx.astype(np.int32),
+                    "byte": sampled.astype(np.int32),
+                }
+            )
 
     return df.select("doc_id", "payload").mapInPandas(
         kernel, schema="doc_id long, frame_idx int, byte int"

@@ -76,6 +76,7 @@ def stream_khop_sampler(
     hops: int = 2,
     fanout: int = 3,
     initial_edges: DataFrame | None = None,
+    compact_every: int = 8,
 ):
     """Wire the batch kernel into Structured Streaming with foreachBatch.
 
@@ -85,14 +86,33 @@ def stream_khop_sampler(
     gnn_sampler AppendOnlyEdgecutFragment); every micro-batch answers all
     ``queries`` against the updated graph and appends results to
     ``sink_path`` as parquet (Kafka producer analog).
+
+    State growth is bounded two ways: every batch localCheckpoints the
+    union (cuts lineage), and every ``compact_every`` batches the edge
+    state is compacted to parquet under ``checkpoint_path`` and re-read —
+    so executor-memory block usage stays one table's worth instead of an
+    ever-growing union of per-batch blocks, and a restarted job recovers
+    the graph from the last compaction instead of replaying the stream.
     """
-    state = {"edges": initial_edges}
+    state = {"edges": initial_edges, "since_compact": 0, "gen": 0}
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst", "weight")
         acc = state["edges"]
         acc = new_edges if acc is None else acc.unionByName(new_edges)
-        acc = acc.localCheckpoint(eager=True)  # bound lineage across batches
+        state["since_compact"] += 1
+        if state["since_compact"] >= compact_every:
+            # durable compaction: one parquet table replaces the union
+            # tower. Ping-pong between two dirs — the current state's plan
+            # may still read the previous compaction, and Spark (rightly)
+            # refuses to overwrite a path it is reading from.
+            state["gen"] ^= 1
+            compact_dir = f"{checkpoint_path}/edge_state_{state['gen']}"
+            acc.write.mode("overwrite").parquet(compact_dir)
+            acc = spark.read.parquet(compact_dir)
+            state["since_compact"] = 0
+        else:
+            acc = acc.localCheckpoint(eager=True)  # bound lineage across batches
         state["edges"] = acc
         result = khop_sample(acc, queries, hops=hops, fanout=fanout)
         (

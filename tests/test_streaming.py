@@ -62,3 +62,51 @@ def test_stream_khop_sampler_foreachbatch(spark, tmp_path):
         (r["root"], r["hop"], r["src"], r["dst"]) for r in spark.read.parquet(sink).collect()
     )
     assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
+
+
+def test_stream_sampler_multibatch_with_compaction(spark, tmp_path):
+    """Many micro-batches through foreachBatch: edge state accumulates
+    across batches, gets compacted to parquet every ``compact_every``
+    batches (bounded union tower), and answers reflect ALL edges so far."""
+    import time
+
+    from libgrape_lite_spark.streaming import stream_khop_sampler
+
+    src_dir = tmp_path / "edge_updates"
+    src_dir.mkdir()
+    # 6 single-edge micro-batch files growing a chain 0→1→…→6
+    for i in range(6):
+        spark.createDataFrame(
+            [(i, i + 1, 1.0)], "src long, dst long, weight double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema("src long, dst long, weight double")
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(src_dir / "*"))
+    )
+    queries = spark.createDataFrame([(0,)], "root long")
+    sink = str(tmp_path / "paths")
+    ckpt = tmp_path / "sck"
+    q = stream_khop_sampler(
+        spark, stream, queries,
+        sink_path=sink, checkpoint_path=str(ckpt),
+        hops=2, fanout=2, compact_every=2,
+    )
+    q.awaitTermination(180)
+    time.sleep(1)
+    out = spark.read.parquet(sink)
+    n_batches = out.select("batch_id").distinct().count()
+    assert n_batches >= 3  # genuinely multi-batch (maxFilesPerTrigger=1)
+    # the final batch must see the whole accumulated chain: 0→1, 1→2
+    last = out.where(F.col("batch_id") == out.agg(F.max("batch_id")).collect()[0][0])
+    got = sorted((r["root"], r["hop"], r["src"], r["dst"]) for r in last.collect())
+    assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
+    # compaction really happened: a parquet edge_state dir exists with the
+    # full edge count
+    gens = [p for p in ckpt.iterdir() if p.name.startswith("edge_state_")]
+    assert gens, "no compaction directory written"
+    compacted = max(
+        spark.read.parquet(str(p)).count() for p in gens
+    )
+    assert compacted >= 4  # ≥ 2 compactions of 2 batches each
