@@ -44,9 +44,25 @@ def main() -> None:
             shuffle_partitions=cores,
             extra_conf={
                 "spark.executor.cores": str(min(exec_cores, cores)),
-                "spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "14g"),
+                "spark.executor.memory": os.environ.get("SPARK_GRAFT_EXEC_MEM", "18g"),
                 "spark.cores.max": str(cores),
                 "spark.submit.pyFiles": str(pyzip),
+                # force ShuffledHashJoin for the superstep state join: no
+                # per-round driver-built broadcast (serial, scales with
+                # executor count) and no per-round sort of the pre-
+                # partitioned adjacency (A/B-measured: 48s vs 66s for 10
+                # rounds at C=250k on 4x8 executors)
+                "spark.sql.autoBroadcastJoinThreshold": "-1",
+                "spark.sql.join.preferSortMergeJoin": "false",
+                # iterative jobs re-read localCheckpoint blocks every round;
+                # the 3s default locality wait serializes multi-executor
+                # stages (measured: 4x4-core executors SLOWER than 1x4 with
+                # the default). A real cluster job wants this too.
+                "spark.locality.wait": "0s",
+                # loopback/fast-fabric: compression costs CPU, the scarce
+                # resource here; shuffle bytes are cheap
+                "spark.shuffle.compress": "false",
+                "spark.shuffle.spill.compress": "false",
             },
         )
         spark.sparkContext.addPyFile(str(pyzip))
@@ -60,7 +76,10 @@ def main() -> None:
     t = synthesize_transcripts(spark, n_conversations, seed=seed).localCheckpoint(
         eager=True
     )
-    vertices, edges = build_graph_from_transcripts(t)
+    # LocalVertexMap path: the oid→id dictionary at C=4M is ~28M rows — an
+    # explicit broadcast of it OOMs the driver (and ignores the
+    # autoBroadcastJoinThreshold conf). Shuffle joins are the 100 TB path.
+    vertices, edges = build_graph_from_transcripts(t, broadcast_dict=False)
     vertices = vertices.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
     n_edges = edges.count()

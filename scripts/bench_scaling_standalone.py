@@ -154,19 +154,37 @@ def main() -> None:
     subprocess.run([sys.executable, str(REPO / "scripts" / "make_pyfiles.py")],
                    check=True, cwd=str(REPO))
 
-    # primary: 1×8-core executor vs 4×8-core executors (full machine)
-    full = measure(n, 8, ["0-7"], ["0-7", "8-15", "16-23", "24-31"])
-    print(json.dumps({"protocol": "1x8 vs 4x8 executors", **full}, indent=2))
-
+    # primary: 1×8-core executor vs 4×8-core executors (full machine);
     # control: 1×4 vs 4×4 (4 vs 16 CPUs) — both legs below the memory-
-    # bandwidth ceiling; isolates the single-socket confound
-    ctrl = measure(n, 4, ["0-3"], ["0-3", "4-7", "8-11", "12-15"])
-    print(json.dumps({"protocol": "1x4 vs 4x4 executors (control)", **ctrl}, indent=2))
+    # bandwidth ceiling, isolates the single-socket confound. Either can be
+    # skipped (SPARK_GRAFT_SKIP_CONTROL / SPARK_GRAFT_ONLY_CONTROL).
+    full = ctrl = None
+    if not os.environ.get("SPARK_GRAFT_ONLY_CONTROL"):
+        full = measure(n, 8, ["0-7"], ["0-7", "8-15", "16-23", "24-31"])
+        print(json.dumps({"protocol": "1x8 vs 4x8 executors", **full}, indent=2))
+    if not os.environ.get("SPARK_GRAFT_SKIP_CONTROL"):
+        ctrl = measure(n, 4, ["0-3"], ["0-3", "4-7", "8-11", "12-15"])
+        print(json.dumps({"protocol": "1x4 vs 4x4 executors (control)", **ctrl}, indent=2))
 
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
-    lo, hi = full["n_leg"], full["four_n_leg"]
-    clo, chi = ctrl["n_leg"], ctrl["four_n_leg"]
     bench_md = REPO / "BENCH" / "BASELINE.md"
+    if full is None:
+        if ctrl is not None:
+            clo, chi = ctrl["n_leg"], ctrl["four_n_leg"]
+            with bench_md.open("a") as f:
+                f.write(f"""
+## Control-only run — {stamp} — C={n:,}: 1×4 vs 4×4 executors
+
+| cluster | executors | CPUs | seconds | edges-processed/s |
+|---|---|---|---|---|
+| N  | 1 × 4 cores | 4 | {clo['seconds']} | {clo['edges_per_sec']:,.0f} |
+| 4N | 4 × 4 cores | 16 | {chi['seconds']} | {chi['edges_per_sec']:,.0f} |
+
+**Control efficiency: {ctrl['efficiency']}**
+""")
+        print("appended BENCH/BASELINE.md")
+        return
+    lo, hi = full["n_leg"], full["four_n_leg"]
     with bench_md.open("a") as f:
         f.write(f"""
 ## PageRank N vs 4N EXECUTOR scaling — real standalone cluster — {stamp}
@@ -186,7 +204,10 @@ deterministic synthetic transcripts (seed 42), {n:,} conversations →
 | 4N | 4 × 8 cores (pinned octets) | 32 | {hi['seconds']} | {hi['supersteps_per_sec']} | {hi['edges_per_sec']:,.0f} |
 
 **Scaling efficiency (throughput(4N) / (4 × throughput(N))): {full['efficiency']}**
-
+""")
+        if ctrl is not None:
+            clo, chi = ctrl["n_leg"], ctrl["four_n_leg"]
+            f.write(f"""
 Control (memory-bandwidth confound isolated — both legs far below the
 single-socket bandwidth ceiling): 1 × 4-core executor vs 4 × 4-core
 executors on CPUs 0-3 vs 0-15:
