@@ -12,10 +12,15 @@ coalescing achieves the sparse-frontier goal declaratively, so only
 top-down is implemented (identical results).
 
 Spark plan per superstep:
-    next = frontier ⋈ edges on src → distinct(dst) ▷ visited (left_anti)
+    next = frontier ⋈ edges on src → distinct(dst)
+           ▷ visited_compacted (hash-partitioned anti-join, no re-exchange)
+           ▷ recent frontiers (broadcast anti-joins — tiny)
 Frontiers shrink: AQE coalesces the near-empty shuffle partitions;
 late-stage frontiers below the broadcast threshold get broadcast-hash
-joins automatically.
+joins automatically. The visited set is two-tier: a compacted,
+id-partitioned localCheckpoint (re-built every 8 rounds) plus the small
+per-round deltas since — so the O(V) side of the anti-join is never
+re-shuffled inside the loop.
 """
 
 from __future__ import annotations
@@ -60,32 +65,48 @@ def bfs(
             frontier = visited.select("id")
 
         # Per round only the (usually tiny) frontier is materialized; the
-        # visited set accumulates lazily as a union of cached frontiers and
-        # is compacted every few rounds — one cheap job per superstep
-        # instead of rewriting O(V) state every level (deep chains ⇒ many
-        # near-empty levels; cf. the reference's bitset frontier,
-        # vertex_set.h).
-        since_compact = 0
+        # visited set accumulates lazily and is compacted every few rounds
+        # — one cheap job per superstep instead of rewriting O(V) state
+        # every level (deep chains ⇒ many near-empty levels; cf. the
+        # reference's bitset frontier, vertex_set.h).
+        #
+        # The visited check is SPLIT: candidates anti-join (a) the big
+        # compacted set — kept hash-partitioned on id and localCheckpointed,
+        # so the exchange on that side happens once per compaction, not per
+        # round — then (b) the union of the few post-compaction frontiers,
+        # which is small enough for a broadcast anti-join. Without the
+        # split, every round re-shuffles the ever-growing visited union.
+        visited_big = visited.repartition("id").localCheckpoint(eager=True)
+        recent: list[DataFrame] = []  # post-compaction (id, depth) deltas
         while max_rounds is None or step < max_rounds:
             t0 = time.time()
             step += 1
-            nxt = (
+            cand = (
                 adj.join(frontier.withColumnRenamed("id", "src"), "src")
                 .select(F.col("dst").alias("id"))
                 .distinct()
-                .join(visited.select("id"), "id", "left_anti")
-                .select("id", F.lit(step).cast("long").alias("depth"))
+                .join(visited_big.select("id"), "id", "left_anti")
+            )
+            for r in recent:
+                cand = cand.join(F.broadcast(r.select("id")), "id", "left_anti")
+            nxt = cand.select(
+                "id", F.lit(step).cast("long").alias("depth")
             ).localCheckpoint(eager=True)
             active = nxt.count()
-            visited = visited.unionByName(nxt)
-            since_compact += 1
-            if since_compact >= 8:
-                visited = drv.materialize(visited, step)
-                since_compact = 0
+            recent.append(nxt)
+            if len(recent) >= 8:
+                merged = visited_big
+                for r in recent:
+                    merged = merged.unionByName(r)
+                visited_big = drv.materialize(merged.repartition("id"), step)
+                recent = []
             frontier = nxt.select("id")
             drv.log(step, active, time.time() - t0, op="bfs")
             if active == 0:
                 break
+        visited = visited_big
+        for r in recent:
+            visited = visited.unionByName(r)
         visited = drv.materialize(visited, step)
 
     drv.finish()

@@ -57,15 +57,45 @@ class VertexProgram:
     frontier_only: bool = True  # only changed vertices emit messages (IncEval)
 
 
+@dataclass
+class Mutation:
+    """In-computation graph mutation, applied BETWEEN supersteps — the
+    analog of ``MutationContext`` (grape/app/mutation_context.h:67-104),
+    which queues add/remove vertex/edge requests during round k that the
+    worker applies before round k+1 (worker.h:176-187 processMutation).
+
+    ``add_edges``/``remove_edges``: DataFrame(src, dst[, weight...]) in the
+    program's edge schema (direction as given; undirected programs double
+    internally). ``add_vertices``/``remove_vertices``: DataFrame(id).
+
+    Endpoints of mutated edges and added vertices are re-activated
+    (``changed = true``) so propagation resumes through the new topology —
+    the reference's behavior. NOTE (same caveat as the reference): removal
+    only re-activates; an algorithm whose established state is not monotone
+    under removal (e.g. WCC after an edge delete) must be re-run — the
+    base+delta rebuild path (sources/tsv.py::load_mutable_graph_tsv).
+    """
+
+    add_edges: DataFrame | None = None
+    remove_edges: DataFrame | None = None
+    add_vertices: DataFrame | None = None
+    remove_vertices: DataFrame | None = None
+
+
 def run_vertex_program(
     vertices: DataFrame,
     edges: DataFrame,
     program: VertexProgram,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
+    mutate: "Callable[[int, DataFrame], Mutation | None] | None" = None,
 ) -> DataFrame:
     """Drive ``program`` to its fixpoint; returns the final state
-    (without the ``changed`` bookkeeping column)."""
+    (without the ``changed`` bookkeeping column).
+
+    ``mutate(superstep, state)`` — optional MutationContext hook, called
+    after every superstep; a returned :class:`Mutation` is applied to the
+    adjacency and state before the next round (None = no mutation)."""
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
@@ -97,12 +127,71 @@ def run_vertex_program(
             new_state = program.apply(state, msgs)
             state = drv.materialize(new_state, step)
             active = state.where("changed").count()
+
+            mut = mutate(step, state) if mutate is not None else None
+            if mut is not None:
+                adj, state = _apply_mutation(program, adj, state, mut)
+                state = drv.materialize(state, step)
+                active = max(active, state.where("changed").count())
+
             drv.log(step, active, time.time() - t0, op="vertex_program")
             if active == 0:
                 break
 
     drv.finish()
     return state.drop("changed")
+
+
+def _apply_mutation(
+    program: VertexProgram, adj: DataFrame, state: DataFrame, mut: Mutation
+) -> tuple[DataFrame, DataFrame]:
+    """processMutation (worker.h:176-187): splice edge/vertex deltas into
+    the cached adjacency + state, re-activating affected vertices."""
+    touched = None  # ids to re-activate
+
+    def collect_ids(df: DataFrame) -> DataFrame:
+        return df.select(F.col("src").alias("id")).unionByName(
+            df.select(F.col("dst").alias("id"))
+        )
+
+    if mut.add_edges is not None:
+        delta = mut.add_edges if program.directed else undirected(mut.add_edges)
+        for c in adj.columns:  # align schema (fill weight etc. if absent)
+            if c not in delta.columns:
+                delta = delta.withColumn(c, F.lit(None).cast(adj.schema[c].dataType))
+        adj = adj.unionByName(delta.select(adj.columns))
+        touched = collect_ids(mut.add_edges)
+    if mut.remove_edges is not None:
+        rm = mut.remove_edges if program.directed else undirected(mut.remove_edges)
+        adj = adj.join(rm.select("src", "dst"), ["src", "dst"], "left_anti")
+        ids = collect_ids(mut.remove_edges)
+        touched = ids if touched is None else touched.unionByName(ids)
+    if mut.remove_vertices is not None:
+        ids = mut.remove_vertices.select("id")
+        adj = adj.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").join(
+            ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
+        )
+        state = state.join(ids, "id", "left_anti")
+    # re-partition + re-pin the mutated adjacency once (same contract as the
+    # initial PrepareToRunApp step)
+    if mut.add_edges is not None or mut.remove_edges is not None or mut.remove_vertices is not None:
+        adj = adj.repartition("src").localCheckpoint(eager=True)
+    if mut.add_vertices is not None:
+        init_new = program.init(mut.add_vertices.select("id"), adj)
+        if "changed" not in init_new.columns:
+            init_new = init_new.withColumn("changed", F.lit(True))
+        init_new = init_new.withColumn("changed", F.lit(True))
+        state = state.join(mut.add_vertices.select("id"), "id", "left_anti").unionByName(
+            init_new.select(state.columns)
+        )
+    if touched is not None:
+        state = state.join(
+            touched.distinct().withColumn("_touch", F.lit(True)), "id", "left"
+        ).select(
+            *[c for c in state.columns if c != "changed"],
+            (F.col("changed") | F.coalesce("_touch", F.lit(False))).alias("changed"),
+        )
+    return adj, state
 
 
 # ---------------------------------------------------------------- examples

@@ -77,6 +77,7 @@ def stream_khop_sampler(
     fanout: int = 3,
     initial_edges: DataFrame | None = None,
     compact_every: int = 8,
+    trigger: dict | None = None,
 ):
     """Wire the batch kernel into Structured Streaming with foreachBatch.
 
@@ -121,9 +122,12 @@ def stream_khop_sampler(
             .parquet(sink_path)
         )
 
+    # availableNow drains bounded sources (files) then stops — the test
+    # default; continuous sources (rate, Kafka) want a processing-time
+    # trigger instead: pass e.g. trigger={"processingTime": "2 seconds"}
     return (
         edge_stream.writeStream.foreachBatch(process_batch)
         .option("checkpointLocation", checkpoint_path)
-        .trigger(availableNow=True)
+        .trigger(**(trigger or {"availableNow": True}))
         .start()
     )

@@ -36,3 +36,66 @@ def test_sssp_as_vertex_program(spark):
             assert math.isinf(got[k])
         else:
             assert got[k] == want[k]
+
+
+def test_in_computation_mutation_edge_add(spark):
+    """MutationContext parity (mutation_context.h:67-104, worker.h:176-187):
+    an edge added BETWEEN supersteps joins two components mid-run; the
+    fixpoint equals running from scratch on the mutated graph."""
+    from libgrape_lite_spark.plans.vertex_program import (
+        Mutation,
+        run_vertex_program,
+        wcc_program,
+    )
+    from tests.conftest import make_edges, make_vertices
+
+    # two disjoint chains: 0-1-2 and 10-11-12
+    edges = [(0, 1), (1, 2), (10, 11), (11, 12)]
+    ids = sorted({x for e in edges for x in e})
+    v, e = make_vertices(spark, ids), make_edges(spark, edges)
+
+    def mutate(step, state):
+        if step == 1:  # after the first superstep, bridge the components
+            return Mutation(
+                add_edges=spark.createDataFrame(
+                    [(2, 10, 1.0)], "src long, dst long, weight double"
+                )
+            )
+        return None
+
+    got = {
+        r["id"]: r["comp"]
+        for r in run_vertex_program(v, e, wcc_program(), mutate=mutate).collect()
+    }
+    assert set(got.values()) == {0}  # single component labeled by min id
+    assert got == {i: 0 for i in ids}
+
+
+def test_in_computation_mutation_vertex_add_remove(spark):
+    from libgrape_lite_spark.plans.vertex_program import (
+        Mutation,
+        run_vertex_program,
+        wcc_program,
+    )
+    from tests.conftest import make_edges, make_vertices
+
+    edges = [(0, 1), (5, 6)]
+    v, e = make_vertices(spark, [0, 1, 5, 6]), make_edges(spark, edges)
+
+    def mutate(step, state):
+        if step == 1:
+            return Mutation(
+                add_vertices=spark.createDataFrame([(99,)], "id long"),
+                add_edges=spark.createDataFrame(
+                    [(1, 99, 1.0), (99, 5, 1.0)], "src long, dst long, weight double"
+                ),
+                remove_vertices=spark.createDataFrame([(6,)], "id long"),
+            )
+        return None
+
+    got = {
+        r["id"]: r["comp"]
+        for r in run_vertex_program(v, e, wcc_program(), mutate=mutate).collect()
+    }
+    # 6 removed; 99 bridges 0-1 and 5 → everything collapses to comp 0
+    assert got == {0: 0, 1: 0, 5: 0, 99: 0}
