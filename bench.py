@@ -82,8 +82,8 @@ def main() -> None:
     )
     conv_rounds = len(conv_drv.metrics)
 
-    timed("wcc", lambda: wcc(vertices, edges))
-    timed("wcc_auto", lambda: wcc(vertices, edges, impl="auto"))
+    timed("wcc", lambda: wcc(vertices, edges))  # default impl = auto (PIE)
+    timed("wcc_dataframe", lambda: wcc(vertices, edges, impl="dataframe"))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))

@@ -41,7 +41,7 @@ def wcc(
     edges: DataFrame,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
-    impl: str = "dataframe",
+    impl: str = "auto",
     num_fragments: int | None = None,
     jump: bool = True,
 ) -> DataFrame:
@@ -51,18 +51,18 @@ def wcc(
     (undirected doubling applied internally, SURVEY.md §1.4).
 
     ``impl``:
-      * ``"dataframe"`` (default) — frontier-push join; with ``jump=True``
-        each round adds a pointer-jump self-join (``comp' = comp[comp]``,
-        the shortcutting half of Kiveris et al.'s two-phase rounds), so
-        convergence needs O(log diameter) instead of O(diameter) rounds —
-        the win on deep reply chains.
-      * ``"kernel"`` — per-fragment Arrow gather-scatter (reduce_fn="min",
-        long-typed end-to-end; exact past 2^53 vertex ids).
-      * ``"auto"`` — wcc_auto parity (wcc_auto.h:46-135): range-partitioned
-        fragments run a LOCAL min-label fixpoint per superstep
+      * ``"auto"`` (default) — wcc_auto parity (wcc_auto.h:46-135): range-
+        partitioned fragments run a LOCAL min-label fixpoint per superstep
         (plans/kernels.py:local_min_fixpoint), so each global round does
         O(local diameter) plain rounds' work; conversation chains occupy
-        contiguous dense-id ranges and collapse in superstep 1.
+        contiguous dense-id ranges and collapse in superstep 1. Fastest
+        measured impl (sf0.1: 4.9s vs 6.3-6.6s), long-typed, resumable.
+      * ``"dataframe"`` — frontier-push join; with ``jump=True`` each round
+        adds a pointer-jump self-join (``comp' = comp[comp]``, the
+        shortcutting half of Kiveris et al.'s two-phase rounds), so
+        convergence needs O(log diameter) instead of O(diameter) rounds.
+      * ``"kernel"`` — per-fragment Arrow gather-scatter (reduce_fn="min",
+        long-typed end-to-end; exact past 2^53 vertex ids).
     """
     if impl not in ("dataframe", "kernel", "auto"):
         raise ValueError(f"impl must be dataframe|kernel|auto, got {impl!r}")
@@ -229,10 +229,15 @@ def _wcc_kernel_auto(
             .localCheckpoint(eager=True)
         )
 
-        step = 0
-        state = drv.materialize(
-            vertices.select("id", F.col("id").alias("comp")), step
-        )
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+            state = state.select("id", "comp")
+        else:
+            step = 0
+            state = drv.materialize(
+                vertices.select("id", F.col("id").alias("comp")), step
+            )
         while max_rounds is None or step < max_rounds:
             t0 = _time.time()
             step += 1
