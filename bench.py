@@ -87,6 +87,7 @@ def main() -> None:
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))
+    timed("sssp_auto", lambda: sssp(vertices, edges, source=source_id, impl="auto"))
     timed("lcc", lambda: lcc(vertices, edges))
 
     pr_sec = timings["pagerank"]

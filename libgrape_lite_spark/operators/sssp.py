@@ -33,14 +33,28 @@ def sssp(
     directed: bool = False,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
+    impl: str = "dataframe",
+    num_fragments: int | None = None,
 ) -> DataFrame:
     """Returns DataFrame(id: long, dist: double); unreached = +inf.
 
     ``edges(src, dst, weight)``; undirected doubling applied unless
     ``directed`` (run_app.h:204-210 instantiates SSSP with edata=double).
+
+    ``impl="auto"`` — sssp_auto parity (sssp_auto.h:46-123): range-
+    partitioned fragments run a LOCAL Bellman-Ford fixpoint per superstep
+    (plans/kernels.py:local_relax_fixpoint); a shortest path confined to a
+    fragment settles in one superstep, so global rounds count only the
+    cross-fragment hops. ``"dataframe"`` (default) is the frontier push —
+    better when frontiers are tiny relative to fragments.
     """
+    if impl not in ("dataframe", "auto"):
+        raise ValueError(f"impl must be dataframe|auto, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
+
+    if impl == "auto":
+        return _sssp_auto(vertices, edges, source, directed, drv, max_rounds, num_fragments)
 
     with static_plans(spark):
         adj = (
@@ -94,6 +108,82 @@ def sssp(
             state = drv.materialize(new_state, step)
             active = state.where("improved").count()
             drv.log(step, active, time.time() - t0, op="sssp")
+            if active == 0:
+                break
+
+    drv.finish()
+    return (
+        vertices.select("id")
+        .join(state.select("id", "dist"), "id", "left")
+        .select("id", F.coalesce("dist", F.lit(float("inf"))).alias("dist"))
+    )
+
+
+def _sssp_auto(
+    vertices: DataFrame,
+    edges: DataFrame,
+    source: int,
+    directed: bool,
+    drv: IterationDriver,
+    max_rounds: int | None,
+    num_fragments: int | None,
+) -> DataFrame:
+    """PIE-model SSSP: per-fragment local Bellman-Ford to fixpoint, then
+    one min-combine shuffle of improved distances per superstep."""
+    import time as _time
+
+    from libgrape_lite_spark.plans.kernels import local_relax_fixpoint, segment_part
+
+    spark = vertices.sparkSession
+    with static_plans(spark):
+        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        id_bound = int(vertices.agg(F.max("id")).collect()[0][0]) + 1
+        adj = (
+            edges.select("src", "dst", "weight")
+            if directed
+            else undirected(edges.select("src", "dst", "weight"))
+        )
+        adj = (
+            adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+            .withColumn("part", segment_part("src", nf, id_bound))
+            .repartition(nf, "part")
+            .localCheckpoint(eager=True)
+        )
+
+        resumed = drv.latest_checkpoint()
+        if resumed is not None:
+            state, step = resumed
+        else:
+            step = 0
+            state = drv.materialize(
+                spark.createDataFrame([(source, 0.0, True)], "id long, dist double, improved boolean"),
+                step,
+            )
+
+        while max_rounds is None or step < max_rounds:
+            t0 = _time.time()
+            step += 1
+            cand = local_relax_fixpoint(
+                adj, state.select("id", "dist"), "dist", nf, id_bound=id_bound
+            )
+            new_state = (
+                state.select("id", "dist")
+                .join(cand, "id", "full")
+                .select(
+                    "id",
+                    F.least(
+                        F.coalesce("dist", F.lit(float("inf"))),
+                        F.coalesce("gathered", F.lit(float("inf"))),
+                    ).alias("dist"),
+                    (
+                        F.col("gathered").isNotNull()
+                        & (F.col("gathered") < F.coalesce("dist", F.lit(float("inf"))))
+                    ).alias("improved"),
+                )
+            )
+            state = drv.materialize(new_state, step)
+            active = state.where("improved").count()
+            drv.log(step, active, _time.time() - t0, op="sssp_auto")
             if active == 0:
                 break
 

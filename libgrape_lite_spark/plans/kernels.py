@@ -205,6 +205,67 @@ def local_min_fixpoint(
     return partials.groupBy("id").agg(F.min("gathered").alias("gathered"))
 
 
+def local_relax_fixpoint(
+    edges_p: DataFrame,
+    state: DataFrame,
+    value_col: str,
+    num_fragments: int,
+    id_bound: int | None = None,
+    weight_col: str = "weight",
+) -> DataFrame:
+    """sssp_auto-style PEval (sssp_auto.h:46-123): per fragment, relax
+    ``d[dst] = min(d[dst], d[src] + w)`` over the fragment's LOCAL edges to
+    a local fixpoint before anything shuffles — a whole shortest path
+    inside one fragment (a conversation reply chain, with range
+    partitioning) settles in a single superstep. Emits (id, gathered:
+    double) only where the local fixpoint beat what the fragment knew;
+    global combine = groupBy(id).min.
+    """
+
+    def kernel(key, edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id": np.array([], dtype=np.int64),
+                              "gathered": np.array([], dtype=np.float64)})
+        if edges_pdf.empty or state_pdf.empty:
+            return empty
+        src = edges_pdf["src"].to_numpy(dtype=np.int64)
+        dst = edges_pdf["dst"].to_numpy(dtype=np.int64)
+        w = edges_pdf[weight_col].to_numpy(dtype=np.float64)
+        sids = state_pdf["id"].to_numpy(dtype=np.int64)
+        svals = state_pdf[value_col].to_numpy(dtype=np.float64)
+
+        nodes = np.unique(np.concatenate([src, dst, sids]))
+        d = np.full(len(nodes), np.inf)
+        np.minimum.at(d, np.searchsorted(nodes, sids), svals)
+        known = d.copy()
+        sc = np.searchsorted(nodes, src)
+        dc = np.searchsorted(nodes, dst)
+
+        # Bellman-Ford bound: a simple path has < |V_local| edges; the cap
+        # also guards against local negative cycles (divergent otherwise)
+        for _ in range(len(nodes) + 1):
+            new = d.copy()
+            np.minimum.at(new, dc, d[sc] + w)
+            if np.array_equal(new, d):
+                break
+            d = new
+
+        improved = d < known
+        return pd.DataFrame({"id": nodes[improved], "gathered": d[improved]})
+
+    if id_bound is not None:
+        state_p = state.select("id", value_col).withColumn(
+            "part", segment_part("id", num_fragments, id_bound)
+        )
+    else:
+        state_p = partition_state(state.select("id", value_col), num_fragments)
+    partials = (
+        edges_p.groupBy("part")
+        .cogroup(state_p.groupBy("part"))
+        .applyInPandas(kernel, schema="id long, gathered double")
+    )
+    return partials.groupBy("id").agg(F.min("gathered").alias("gathered"))
+
+
 def gather_label_counts(
     edges_p: DataFrame,
     state: DataFrame,

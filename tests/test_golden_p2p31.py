@@ -207,3 +207,29 @@ def test_mutable_graph_matches_goldens(spark):
         a, b = got[oid], golden[oid]
         assert fwd.setdefault(a, b) == b, f"oid={oid}"
         assert bwd.setdefault(b, a) == a, f"oid={oid}"
+
+
+def test_sssp_auto_golden(spark, graph):
+    """sssp_auto (PIE local-relaxation kernel) against the reference's own
+    expected output (sssp_auto.h — same fixpoint as sssp.h)."""
+    from libgrape_lite_spark.operators import sssp
+
+    v, e = graph
+    check_close(
+        sssp(v, e, source=6, directed=False, impl="auto"),
+        "dist", "p2p-31-SSSP", rtol=0, atol=1e-12,
+    )
+
+
+def test_wcc_auto_golden(spark, graph):
+    from libgrape_lite_spark.operators import wcc
+
+    v, e = graph
+    golden = load_golden("p2p-31-WCC").set_index("oid")["value"].sort_index()
+    got = result_series(wcc(v, e, impl="auto"), "comp")
+    fwd: dict = {}
+    bwd: dict = {}
+    for oid in golden.index:
+        a, b = got[oid], golden[oid]
+        assert fwd.setdefault(a, b) == b, f"oid={oid}"
+        assert bwd.setdefault(b, a) == a, f"oid={oid}"

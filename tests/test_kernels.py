@@ -133,3 +133,30 @@ def test_wcc_jump_off_equals_on(spark):
     a = {r["id"]: r["comp"] for r in wcc(v, e, jump=True).collect()}
     b = {r["id"]: r["comp"] for r in wcc(v, e, jump=False).collect()}
     assert a == b
+
+
+def test_sssp_auto_equals_dataframe(spark):
+    """sssp_auto local-relaxation kernel matches the frontier fixpoint on a
+    weighted multi-chain graph with a shortcut that flips the best path."""
+    from libgrape_lite_spark.operators import sssp
+    from tests.conftest import make_edges, make_vertices
+
+    edges = (
+        [(i, i + 1, 1.0) for i in range(0, 15)]
+        + [(0, 10, 3.5)]          # shortcut beats the 10-hop chain
+        + [(20, 21, 2.0), (21, 22, 2.0)]  # unreachable from 0? no — connect:
+        + [(14, 20, 0.5)]
+        + [(5, 5, 9.0)]           # self loop no-op
+    )
+    ids = sorted({x for e in edges for x in e[:2]})
+    v = make_vertices(spark, ids)
+    e = make_edges(spark, edges)
+    want = {r["id"]: r["dist"] for r in sssp(v, e, source=0).collect()}
+    got = {r["id"]: r["dist"] for r in
+           sssp(v, e, source=0, impl="auto", num_fragments=4).collect()}
+    assert got == want
+    # directed variant too
+    want_d = {r["id"]: r["dist"] for r in sssp(v, e, source=0, directed=True).collect()}
+    got_d = {r["id"]: r["dist"] for r in
+             sssp(v, e, source=0, directed=True, impl="auto", num_fragments=4).collect()}
+    assert got_d == want_d
