@@ -86,6 +86,7 @@ def main() -> None:
     timed("wcc_dataframe", lambda: wcc(vertices, edges, impl="dataframe"))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
+    timed("bfs_auto", lambda: bfs(vertices, edges, source=source_id, impl="auto"))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))
     timed("sssp_auto", lambda: sssp(vertices, edges, source=source_id, impl="auto"))
     timed("lcc", lambda: lcc(vertices, edges))

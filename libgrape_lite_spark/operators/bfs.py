@@ -44,10 +44,35 @@ def bfs(
     directed: bool = False,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
+    impl: str = "dataframe",
+    num_fragments: int | None = None,
 ) -> DataFrame:
-    """Returns DataFrame(id: long, depth: long); unreached depth = int64 max."""
+    """Returns DataFrame(id: long, depth: long); unreached depth = int64 max.
+
+    ``impl="auto"`` — bfs_auto parity (bfs_auto.h: depth is the unit-weight
+    shortest distance, same fixpoint as level-synchronous BFS): range-
+    partitioned fragments settle their local levels in one superstep via
+    the Bellman-Ford kernel with w=1; global rounds count cross-fragment
+    hops — the win on deep chains (a 61-level directed reply chain takes 61
+    frontier rounds but ~2-3 auto supersteps). ``"dataframe"`` (default) is
+    the frontier push — cheaper per round when frontiers are tiny.
+    """
+    if impl not in ("dataframe", "auto"):
+        raise ValueError(f"impl must be dataframe|auto, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
+
+    if impl == "auto":
+        from libgrape_lite_spark.operators.sssp import _sssp_auto
+
+        unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
+        d = _sssp_auto(vertices, unit, source, directed, drv, max_rounds, num_fragments)
+        return d.select(
+            "id",
+            F.when(F.col("dist") == float("inf"), F.lit(INT64_MAX))
+            .otherwise(F.col("dist").cast("long"))
+            .alias("depth"),
+        )
 
     with static_plans(spark):
         adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))

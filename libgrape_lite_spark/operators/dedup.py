@@ -41,19 +41,33 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs (a, b) with a < b sharing ≥1 minhash band.
 
     Shuffle volume = docs × bands (linear), never O(n²): band keys bucket
-    the corpus, and only within-bucket pairs materialize. Giant buckets
-    (degenerate texts) are the skew risk → AQE skew-join; an explicit salt
-    cap can be added by pre-filtering buckets with count > θ.
+    the corpus, and only within-bucket pairs materialize.
+
+    ``bucket_cap`` — the degenerate-bucket guard: a (band, key) bucket with
+    more than this many members (k byte-identical boilerplate docs share
+    EVERY band key and would emit C(k,2) pairs per band) is dropped before
+    the join, bounding candidates at cap²·buckets. Members of such buckets
+    are exact or near-exact duplicates — the hash-groupBy exact-dedup pass
+    (dedup_exact) is the right tool for them, not pairwise verification.
     """
     rows = num_hashes // bands
     sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", "bk.band", "bk.key")
+    if bucket_cap is not None:
+        keep = (
+            banded.groupBy("band", "key")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .where(F.col("n") <= bucket_cap)
+            .select("band", "key")
+        )
+        banded = banded.join(keep, ["band", "key"])
     a = banded.select(F.col("id").alias("a"), "band", "key")
     b = banded.select(F.col("id").alias("b"), "band", "key")
     return (
@@ -72,6 +86,7 @@ def dedup_minhash(
     num_hashes: int = 16,
     bands: int = 4,
     shingle_n: int = 3,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
@@ -80,7 +95,9 @@ def dedup_minhash(
     """
     from libgrape_lite_spark.functions.text import shingles
 
-    cands = minhash_lsh_candidates(docs, id_col, text_col, num_hashes, bands, shingle_n)
+    cands = minhash_lsh_candidates(
+        docs, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap
+    )
     sh = docs.select(
         F.col(id_col).alias("id"),
         F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),

@@ -233,3 +233,15 @@ def test_wcc_auto_golden(spark, graph):
         a, b = got[oid], golden[oid]
         assert fwd.setdefault(a, b) == b, f"oid={oid}"
         assert bwd.setdefault(b, a) == a, f"oid={oid}"
+
+
+def test_bfs_auto_golden(spark, graph):
+    """bfs_auto (unit-weight local relaxation) against the reference golden,
+    directed variant included (deep-chain case)."""
+    from libgrape_lite_spark.operators import bfs
+
+    v, e = graph
+    check_exact(bfs(v, e, source=6, directed=False, impl="auto"), "depth", "p2p-31-BFS")
+    check_exact(
+        bfs(v, e, source=6, directed=True, impl="auto"), "depth", "p2p-31-BFS-directed"
+    )

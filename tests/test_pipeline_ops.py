@@ -214,3 +214,21 @@ def test_dedup_minhash_verify_candidate_bounded(spark, docs):
     for k, v in got.items():  # every verified pair carries the exact Jaccard
         assert v == pytest.approx(full[k], rel=1e-12)
     assert (1, 2) in got
+
+
+def test_minhash_bucket_cap_degenerate_corpus(spark):
+    """Verdict #10: 1k identical boilerplate docs share every band key; the
+    cap bounds candidates while a planted near-dup pair still surfaces."""
+    from libgrape_lite_spark.operators.dedup import minhash_lsh_candidates
+
+    rows = [(i, "the same boilerplate footer text appears in every document here")
+            for i in range(1000)]
+    rows += [(2000, "a genuinely unique sentence about sparks and graphs flying"),
+             (2001, "a genuinely unique sentence about sparks and graphs soaring")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = minhash_lsh_candidates(docs, shingle_n=2, bucket_cap=100)
+    pairs = {(r["a"], r["b"]) for r in capped.collect()}
+    assert (2000, 2001) in pairs          # planted near-dup survives
+    assert len(pairs) < 1000              # C(1000,2)=499500 block suppressed
+    assert all(a >= 2000 for a, _ in pairs)
