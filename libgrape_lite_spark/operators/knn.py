@@ -1,6 +1,6 @@
 """Approximate-nearest-neighbor search over an embedding column.
 
-Two paths:
+Three paths:
 
 * ``knn_bruteforce`` — exact top-k cosine for a query subset; the baseline
   and the verifier. Cross join bounded by |queries| × |corpus| — fine when
@@ -10,6 +10,10 @@ Two paths:
   deterministically from md5 (no external randomness, reproducible across
   runs/cluster sizes). This is the 100 TB path: shuffle is linear in
   corpus × L, and each bucket join is a hash join AQE can skew-split.
+* ``knn_ivf`` — inverted-file index over deterministic spherical k-means
+  cells (``kmeans_fit``): queries probe their n_probe closest cells and
+  score only those inverted lists. Adapts to the data distribution where
+  LSH is distribution-free; the standard recall/cost dial is n_probe.
 
 Both use JVM higher-order array functions end-to-end; the only pandas UDF
 in this module is the vectorized hyperplane projection (Arrow-batched
@@ -191,6 +195,143 @@ def knn_lsh(
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
+
+
+def _batch_argmax_cosine(centroids: np.ndarray):
+    """Kernel factory: assign each vector to its max-cosine centroid.
+    One NumPy matmul per Arrow batch, zero per-row Python."""
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    cn = centroids / norms[:, None]
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (mat / vn[:, None]) @ cn.T
+            yield pd.DataFrame(
+                {"id": pdf["id"].to_numpy(), "cell": sims.argmax(axis=1).astype("int32")}
+            )
+
+    return assign
+
+
+def kmeans_fit(
+    df: DataFrame,
+    n_centroids: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic distributed Lloyd's k-means (spherical): init = the
+    vectors with the ``n_centroids`` smallest md5(id) values (a determinist
+    sample, reproducible across partitionings), then ``iters`` rounds of
+    assign (Arrow matmul kernel) + per-cell mean (applyInPandas). Centroid
+    set is tiny (n_centroids × dim) — it rides the closure, never a join.
+    """
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    seed_ids = (
+        base.select("id", F.md5(F.col("id").cast("string")).alias("h"))
+        .orderBy("h")
+        .limit(n_centroids)
+    )
+    seeds = base.join(seed_ids.select("id"), "id").collect()
+    centroids = np.array(
+        [c for _, c in sorted((r["id"], list(r["v"])) for r in seeds)], dtype=np.float64
+    )
+
+    def mean_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64).mean(axis=0)
+        return pd.DataFrame({"cell": [key[0]], "c": [m.tolist()]})
+
+    for _ in range(iters):
+        assigned = base.mapInPandas(
+            _batch_argmax_cosine(centroids), schema="id long, cell int"
+        ).join(base, "id")
+        rows = (
+            assigned.groupBy("cell")
+            .applyInPandas(mean_cell, schema="cell int, c array<double>")
+            .collect()
+        )
+        new = centroids.copy()
+        for r in rows:
+            new[r["cell"]] = r["c"]
+        if np.allclose(new, centroids):
+            break
+        centroids = new
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    kmeans_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are inverted-listed under
+    their nearest (spherical k-means) centroid; each query probes its
+    ``n_probe`` closest cells and scores only those lists exactly.
+
+    The 100 TB shape: assignment is one matmul pass (linear), the
+    candidate join is a hash join on ``cell`` (corpus never self-joins),
+    and recall is dialed by ``n_probe`` — the standard IVF recall/cost
+    knob. Complements ``knn_lsh`` (hyperplane buckets): IVF adapts to the
+    data distribution, LSH needs no training pass.
+    """
+    centroids = kmeans_fit(corpus, n_centroids, kmeans_iters, id_col, vec_col)
+    norms = np.linalg.norm(centroids, axis=1)
+    norms[norms == 0] = 1.0
+    cn = centroids / norms[:, None]
+
+    cb = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    corpus_cells = cb.mapInPandas(
+        _batch_argmax_cosine(centroids), schema="id long, cell int"
+    )
+
+    def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+            vn = np.linalg.norm(mat, axis=1)
+            vn[vn == 0] = 1.0
+            sims = (mat / vn[:, None]) @ cn.T
+            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            n = len(pdf)
+            yield pd.DataFrame(
+                {
+                    "id": np.repeat(pdf["id"].to_numpy(), n_probe),
+                    "cell": top.reshape(-1).astype("int32"),
+                }
+            )
+
+    qb = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    query_cells = qb.mapInPandas(probe, schema="id long, cell int")
+
+    cand = (
+        query_cells.withColumnRenamed("id", "query_id")
+        .join(corpus_cells.withColumnRenamed("id", "neighbor_id"), "cell")
+        .where(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(c, "neighbor_id")
+        .select("query_id", "neighbor_id",
+                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -232,3 +232,22 @@ def test_minhash_bucket_cap_degenerate_corpus(spark):
     assert (2000, 2001) in pairs          # planted near-dup survives
     assert len(pairs) < 1000              # C(1000,2)=499500 block suppressed
     assert all(a >= 2000 for a, _ in pairs)
+
+
+def test_knn_ivf_recall_and_determinism(spark):
+    """IVF top-k on real testdata embeddings: recall vs brute force, twice
+    (determinism: hash-seeded k-means init, fixed Lloyd rounds)."""
+    from libgrape_lite_spark.operators.knn import knn_bruteforce, knn_ivf
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = emb.where(F.col("vec_id") < 20)
+    bf = {(r["query_id"], r["neighbor_id"]) for r in knn_bruteforce(emb, q, k=5).collect()}
+
+    runs = []
+    for _ in range(2):
+        got = knn_ivf(emb, q, k=5, n_centroids=8, n_probe=4, kmeans_iters=2)
+        runs.append(sorted((r["query_id"], r["neighbor_id"], r["rank"]) for r in got.collect()))
+    assert runs[0] == runs[1]  # deterministic end-to-end
+    ivf = {(a, b) for a, b, _ in runs[0]}
+    recall = len(ivf & bf) / len(bf)
+    assert recall >= 0.5, recall  # n_probe=4 of 8 cells on noise vectors
