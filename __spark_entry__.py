@@ -198,6 +198,14 @@ def _q_jaccard_pairs(spark, sf_dir):
     ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
 
 
+def _q_dedup_minhash(spark, sf_dir):
+    from libgrape_lite_spark.operators.dedup import dedup_minhash
+
+    return dedup_minhash(
+        _docs(spark, sf_dir), threshold=0.5, num_hashes=16, bands=4, shingle_n=3
+    ).select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+
+
 def _q_simhash(spark, sf_dir):
     from libgrape_lite_spark.functions.similarity import simhash16
 
@@ -209,6 +217,16 @@ def _q_embedding_topk(spark, sf_dir):
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     res = knn_bruteforce(emb, emb.where(F.col("vec_id") < 10), k=5)
+    return res.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
+def _q_embedding_topk_lsh(spark, sf_dir):
+    from libgrape_lite_spark.operators.knn import knn_lsh
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_lsh(emb, emb.where(F.col("vec_id") < 10), k=5, n_planes=8, n_tables=4)
     return res.select(
         "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
     )
@@ -284,8 +302,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact": _q_dedup_exact,
         "minhash_bands": _q_minhash_bands,
         "ngram_jaccard_pairs": _q_jaccard_pairs,
+        "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
+        "embedding_topk_lsh": _q_embedding_topk_lsh,
         "embedding_dedup": _q_embedding_dedup,
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
@@ -553,6 +573,27 @@ SELECT a, b, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
 FROM inter WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {JACCARD_TAU}"""
 
 
+def _sql_dedup_minhash() -> str:
+    """LSH candidates (banded minhash self-join) verified by exact shingle
+    Jaccard via list_intersect — mirrors operators/dedup.py::dedup_minhash
+    (candidate-bounded verify, no co-shingle self-join)."""
+    h = _H64.format(expr="CAST(i AS VARCHAR) || ':' || s")
+    bh = _H64.format(expr="array_to_string(sig[b*4+1:b*4+4], ',')")
+    return f"""WITH {_shingle_cte(3)},
+ex AS (SELECT doc_id, unnest(sh) AS s FROM shd WHERE len(sh) > 0),
+hs AS (SELECT doc_id, i, MIN({h}) AS hv FROM ex, (SELECT unnest(range(0, 16)) AS i) r GROUP BY 1, 2),
+sig AS (SELECT doc_id, list(hv ORDER BY i) AS sig FROM hs GROUP BY 1),
+bands AS (SELECT doc_id, b, {bh} AS key FROM sig, (SELECT unnest(range(0, 4)) AS b) t),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM bands l JOIN bands r ON l.b = r.b AND l.key = r.key AND l.doc_id < r.doc_id),
+v AS (
+  SELECT c.a, c.b, len(list_intersect(sa.sh, sb.sh)) AS i, len(sa.sh) AS na, len(sb.sh) AS nb
+  FROM cand c JOIN shd sa ON sa.doc_id = c.a JOIN shd sb ON sb.doc_id = c.b)
+SELECT a, b, ROUND(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+FROM v WHERE CAST(i AS DOUBLE) / (na + nb - i) >= 0.5"""
+
+
 def _sql_simhash() -> str:
     h = _H64.format(expr="t")
     return f"""WITH td AS (
@@ -584,21 +625,27 @@ SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE ran
 _EMB_DIM = 64  # driver-generated embeddings.parquet dimension (all SFs)
 
 
+def _planes_values(n_tables: int, n_planes: int) -> str:
+    """The deterministic md5 hyperplanes (operators/knn.py:_hyperplanes) as
+    SQL VALUES literals — every entry is an exact *.5 double."""
+    from libgrape_lite_spark.operators.knn import _hyperplanes
+
+    rows = []
+    for t in range(n_tables):
+        pl = _hyperplanes(_EMB_DIM, n_planes, t)
+        for p in range(n_planes):
+            vals = ", ".join(f"{v:.1f}" for v in pl[p])
+            rows.append(f"({t}, {p}, [{vals}])")
+    return ",\n".join(rows)
+
+
 def _sql_embedding_dedup() -> str:
     """LSH-candidate near-dup, mirrored exactly: the deterministic md5
     hyperplanes (operators/knn.py:_hyperplanes) are inlined as literals so
     DuckDB computes the identical buckets (plane entries are *.5 halves —
     exact in float64; min |dot| on the test corpora ≈ 1e-3, far above any
     summation-order error, so sign parity is guaranteed)."""
-    from libgrape_lite_spark.operators.knn import _hyperplanes
-
-    rows = []
-    for t in range(EMB_LSH_TABLES):
-        pl = _hyperplanes(_EMB_DIM, EMB_LSH_PLANES, t)
-        for p in range(EMB_LSH_PLANES):
-            vals = ", ".join(f"{v:.1f}" for v in pl[p])
-            rows.append(f"({t}, {p}, [{vals}])")
-    planes = ",\n".join(rows)
+    planes = _planes_values(EMB_LSH_TABLES, EMB_LSH_PLANES)
     return f"""WITH e AS MATERIALIZED (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
 planes(tbl, p, pv) AS (VALUES
@@ -627,6 +674,33 @@ SELECT a, b, ROUND(cos, 6) AS cos FROM s WHERE cos >= 0.4"""
 def _lang_hits_sql(words: tuple[str, ...]) -> str:
     lst = ", ".join(f"'{w}'" for w in words)
     return f"len(list_filter(ltk, t -> list_contains([{lst}], t)))"
+
+
+def _sql_embedding_topk_lsh() -> str:
+    """knn_lsh mirrored: same deterministic buckets (8 planes × 4 tables),
+    exact-bucket candidates, exact cosine scoring, same tie-break."""
+    planes = _planes_values(4, 8)
+    return f"""WITH e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+planes(tbl, p, pv) AS (VALUES
+{planes}),
+b AS MATERIALIZED (
+  SELECT e.vec_id, planes.tbl,
+         CAST(SUM(CASE WHEN list_dot_product(e.v, planes.pv) > 0
+                       THEN 1 << planes.p ELSE 0 END) AS BIGINT) AS bucket
+  FROM e, planes GROUP BY 1, 2),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM b q JOIN b c ON q.tbl = c.tbl AND q.bucket = c.bucket
+  WHERE q.vec_id < 10 AND q.vec_id <> c.vec_id),
+s AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cos
+  FROM cand cd JOIN e eq ON eq.vec_id = cd.query_id JOIN e ec ON ec.vec_id = cd.neighbor_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)
+SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 
 
 def _sql_text_stats() -> str:
@@ -689,8 +763,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": _sql_dedup_exact(),
         "minhash_bands": _sql_minhash_bands(),
         "ngram_jaccard_pairs": _sql_jaccard_pairs(),
+        "dedup_minhash": _sql_dedup_minhash(),
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
+        "embedding_topk_lsh": _sql_embedding_topk_lsh(),
         "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "multimodal_bytes": _sql_multimodal(),
