@@ -85,8 +85,9 @@ def main() -> None:
     timed("wcc", lambda: wcc(vertices, edges))  # default impl = auto (PIE)
     timed("wcc_dataframe", lambda: wcc(vertices, edges, impl="dataframe"))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
-    timed("bfs", lambda: bfs(vertices, edges, source=source_id))
-    timed("bfs_auto", lambda: bfs(vertices, edges, source=source_id, impl="auto"))
+    timed("cdlp_kernel", lambda: cdlp(vertices, edges, max_rounds=10, impl="kernel"))
+    timed("bfs", lambda: bfs(vertices, edges, source=source_id))  # default impl=auto (PIE)
+    timed("bfs_push", lambda: bfs(vertices, edges, source=source_id, impl="dataframe"))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))
     timed("sssp_auto", lambda: sssp(vertices, edges, source=source_id, impl="auto"))
     timed("lcc", lambda: lcc(vertices, edges))

@@ -6,15 +6,18 @@ newly reached vertices; messages carry no payload (EmptyType, bfs.h:111-117)
 — the level counter lives in the driver. Unreached vertices output
 ``int64 max`` (bfs_auto_context.h:44; golden p2p-31-BFS-directed).
 
-The reference's bottom-up/top-down direction switching (bfs.h:126-178) is a
-shared-memory scan optimization; the Spark frontier join with AQE partition
-coalescing achieves the sparse-frontier goal declaratively, so only
-top-down is implemented (identical results).
+The reference's bottom-up/top-down direction switching (bfs.h:126-178) is
+re-expressed as a *dense-round switch*: push rounds run while the frontier
+is sparse; once it exceeds ``dense_fraction``·|V| (or persists past
+``switch_rounds`` — the deep-graph case), the remaining levels finish with
+the seeded unit-weight PIE kernel (one-two whole-graph local-fixpoint
+passes) — the same sparse→dense trade, identical results.
 
 Spark plan per superstep:
     next = frontier ⋈ edges on src → distinct(dst)
            ▷ visited_compacted (hash-partitioned anti-join, no re-exchange)
-           ▷ recent frontiers (broadcast anti-joins — tiny)
+           ▷ recent frontiers (broadcast anti-joins — each ≤ broadcast_rows
+             by construction; bigger deltas fold into the compacted set)
 Frontiers shrink: AQE coalesces the near-empty shuffle partitions;
 late-stage frontiers below the broadcast threshold get broadcast-hash
 joins automatically. The visited set is two-tier: a compacted,
@@ -44,35 +47,65 @@ def bfs(
     directed: bool = False,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
-    impl: str = "dataframe",
+    impl: str = "auto",
     num_fragments: int | None = None,
+    broadcast_rows: int = 1_000_000,
+    dense_fraction: float = 0.05,
+    switch_rounds: int = 20,
 ) -> DataFrame:
     """Returns DataFrame(id: long, depth: long); unreached depth = int64 max.
 
-    ``impl="auto"`` — bfs_auto parity (bfs_auto.h: depth is the unit-weight
-    shortest distance, same fixpoint as level-synchronous BFS): range-
-    partitioned fragments settle their local levels in one superstep via
-    the Bellman-Ford kernel with w=1; global rounds count cross-fragment
-    hops — the win on deep chains (a 61-level directed reply chain takes 61
-    frontier rounds but ~2-3 auto supersteps). ``"dataframe"`` (default) is
-    the frontier push — cheaper per round when frontiers are tiny.
+    ``impl="auto"`` (default, like :func:`wcc`) — bfs_auto parity
+    (bfs_auto.h: depth is the unit-weight shortest distance, same fixpoint
+    as level-synchronous BFS): range-partitioned fragments settle their
+    local levels in one superstep via the Bellman-Ford kernel with w=1;
+    global rounds count cross-fragment hops — the win on deep chains (a
+    61-level directed reply chain takes 61 frontier rounds but ~2-3 auto
+    supersteps), and the measured winner on the chain-heavy transcript
+    graph (sf0.01: 3.8 s vs 5.2 s push; sf0.1: 5.6 s vs 7.2 s).
+    ``"dataframe"`` is the frontier push — cheaper per round when
+    frontiers are tiny relative to the graph — with two guard rails for
+    the non-tiny case:
+
+    * a per-round frontier delta joins via **broadcast only below
+      ``broadcast_rows``**; a dense round's delta (O(V) on low-diameter
+      graphs) is folded into the partitioned visited set immediately
+      instead of force-broadcast (the r2 OOM hazard);
+    * when the frontier exceeds ``dense_fraction``·|V|, or after
+      ``switch_rounds`` push rounds the frontier is still growing, the
+      remaining levels are finished by the seeded PIE kernel (unit-weight
+      local Bellman-Ford fixpoint over the *exact* depths settled so far) —
+      the Spark rendition of the reference's top-down → bottom-up direction
+      switch (bfs.h:126-178): both trade per-edge frontier work for a
+      whole-graph dense pass once the frontier stops being sparse.
     """
     if impl not in ("dataframe", "auto"):
         raise ValueError(f"impl must be dataframe|auto, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
-    if impl == "auto":
+    def _finish_auto(
+        init_state: DataFrame | None,
+        kdrv: IterationDriver | None = None,
+        rounds: int | None = None,
+    ) -> DataFrame:
         from libgrape_lite_spark.operators.sssp import _sssp_auto
 
         unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
-        d = _sssp_auto(vertices, unit, source, directed, drv, max_rounds, num_fragments)
+        d = _sssp_auto(
+            vertices, unit, source, directed, kdrv or drv,
+            max_rounds if rounds is None else rounds, num_fragments,
+            init_state=init_state,
+        )
         return d.select(
             "id",
             F.when(F.col("dist") == float("inf"), F.lit(INT64_MAX))
             .otherwise(F.col("dist").cast("long"))
             .alias("depth"),
         )
+
+    if impl == "auto":
+        return _finish_auto(None)
 
     with static_plans(spark):
         adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
@@ -102,7 +135,19 @@ def bfs(
         # which is small enough for a broadcast anti-join. Without the
         # split, every round re-shuffles the ever-growing visited union.
         visited_big = visited.repartition("id").localCheckpoint(eager=True)
+        n_vertices = vertices.count()
         recent: list[DataFrame] = []  # post-compaction (id, depth) deltas
+        go_dense = False
+        prev_active = 1
+
+        def compact(extra: DataFrame | None) -> DataFrame:
+            merged = visited_big
+            for r in recent:
+                merged = merged.unionByName(r)
+            if extra is not None:
+                merged = merged.unionByName(extra)
+            return drv.materialize(merged.repartition("id"), step)
+
         while max_rounds is None or step < max_rounds:
             t0 = time.time()
             step += 1
@@ -112,27 +157,56 @@ def bfs(
                 .distinct()
                 .join(visited_big.select("id"), "id", "left_anti")
             )
+            # post-compaction deltas: broadcast ONLY while they are small
+            # (the compaction policy below guarantees every delta in
+            # ``recent`` is ≤ broadcast_rows — a dense round's delta is
+            # folded into the partitioned set instead of force-broadcast)
             for r in recent:
                 cand = cand.join(F.broadcast(r.select("id")), "id", "left_anti")
             nxt = cand.select(
                 "id", F.lit(step).cast("long").alias("depth")
             ).localCheckpoint(eager=True)
             active = nxt.count()
-            recent.append(nxt)
-            if len(recent) >= 8:
-                merged = visited_big
-                for r in recent:
-                    merged = merged.unionByName(r)
-                visited_big = drv.materialize(merged.repartition("id"), step)
-                recent = []
             frontier = nxt.select("id")
+            if active > broadcast_rows or len(recent) >= 7:
+                visited_big = compact(nxt)
+                recent = []
+            else:
+                recent.append(nxt)
             drv.log(step, active, time.time() - t0, op="bfs")
             if active == 0:
                 break
-        visited = visited_big
-        for r in recent:
-            visited = visited.unionByName(r)
-        visited = drv.materialize(visited, step)
+            # direction switch (reference bfs.h:126-178 analog): once the
+            # frontier is dense — or keeps coming past switch_rounds (deep
+            # graph) — finish all remaining levels with the seeded PIE
+            # kernel instead of per-level push rounds.
+            if active > dense_fraction * n_vertices or (
+                step >= switch_rounds and active >= prev_active
+            ):
+                go_dense = True
+                break
+            prev_active = active
+        visited = compact(None) if recent else visited_big
+
+    if go_dense:
+        seed = visited.select(
+            "id", F.col("depth").cast("double").alias("dist"),
+            (F.col("depth") == step).alias("improved"),
+        )
+        # a fresh child driver: the shared one holds (id, depth)-schema
+        # checkpoints this run; the kernel phase checkpoints under a
+        # deterministic derived run_id so kill-resume still works
+        kdrv = IterationDriver(
+            spark,
+            run_id=f"{drv.run_id}-dense",
+            checkpoint_dir=drv.checkpoint_dir,
+            checkpoint_every=drv.checkpoint_every,
+        )
+        remaining = None if max_rounds is None else max(0, max_rounds - step)
+        out = _finish_auto(seed, kdrv=kdrv, rounds=remaining)
+        drv.metrics.extend(kdrv.metrics)
+        drv.finish()
+        return out
 
     drv.finish()
     return (

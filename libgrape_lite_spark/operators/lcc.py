@@ -40,6 +40,7 @@ from libgrape_lite_spark.functions.edges import undirected
 def triangle_counts(
     vertices: DataFrame, edges: DataFrame, impl: str = "intersect",
     degree_threshold: int | None = None,
+    _doubled: DataFrame | None = None, _deg: DataFrame | None = None,
 ) -> DataFrame:
     """DataFrame(id, tri) — number of triangles containing each vertex
     (set semantics on neighbors, reference stage 2).
@@ -66,8 +67,12 @@ def triangle_counts(
     """
     if impl not in ("intersect", "wedge"):
         raise ValueError(f"impl must be intersect|wedge, got {impl!r}")
-    doubled = undirected(edges.select("src", "dst"))
-    deg = doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    doubled = _doubled if _doubled is not None else undirected(edges.select("src", "dst"))
+    deg = (
+        _deg
+        if _deg is not None
+        else doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+    )
 
     nbr = doubled.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
     ranked = (
@@ -125,8 +130,17 @@ def lcc(
     0.0 exactly like the reference (tricnt stays 0, lcc.h:217-231).
     """
     doubled = undirected(edges.select("src", "dst"))
-    deg = doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
-    tri = triangle_counts(vertices, edges, degree_threshold=degree_threshold)
+    # deg feeds BOTH the orientation (twice, via triangle_counts) and the
+    # lcc denominator — computed and pinned once (was recomputed per use,
+    # the plausible cause of the r2 lcc bench wobble)
+    deg = (
+        doubled.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
+    )
+    tri = triangle_counts(
+        vertices, edges, degree_threshold=degree_threshold, _doubled=doubled, _deg=deg
+    )
 
     return (
         vertices.select("id")

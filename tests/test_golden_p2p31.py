@@ -74,14 +74,14 @@ def test_bfs_undirected(spark, graph):
     from libgrape_lite_spark.operators import bfs
 
     v, e = graph
-    check_exact(bfs(v, e, source=6, directed=False), "depth", "p2p-31-BFS")
+    check_exact(bfs(v, e, source=6, directed=False, impl="dataframe"), "depth", "p2p-31-BFS")
 
 
 def test_bfs_directed(spark, graph):
     from libgrape_lite_spark.operators import bfs
 
     v, e = graph
-    check_exact(bfs(v, e, source=6, directed=True), "depth", "p2p-31-BFS-directed")
+    check_exact(bfs(v, e, source=6, directed=True, impl="dataframe"), "depth", "p2p-31-BFS-directed")
 
 
 # ---------------------------------------------------------------- SSSP

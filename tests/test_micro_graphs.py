@@ -154,3 +154,68 @@ def test_pagerank_convergence_stop(spark):
     pagerank(v, e, max_rounds=200, tol=1e-6, driver=drv)
     assert 0 < len(drv.metrics) < 200  # stopped early on tol
     assert drv.metrics[-1].extra["max_delta"] < 1e-6
+
+
+# ----------------------------------------- BFS guard rails (round-3 fixes)
+def _bfs_oracle_binary_tree(depth_levels):
+    """Complete binary tree 1..2^L-1: depth(v) = floor(log2(v))."""
+    out = {}
+    for v in range(1, 2 ** depth_levels):
+        out[v] = v.bit_length() - 1
+    return out
+
+
+def test_bfs_dense_delta_folds_instead_of_broadcast(spark):
+    """broadcast_rows=1 forces EVERY delta through the fold-into-
+    partitioned-set branch (no forced broadcast anti-join) — results must
+    be identical to the default path."""
+    from libgrape_lite_spark.operators import bfs
+
+    levels = 5
+    ids = list(range(1, 2**levels))
+    v = make_vertices(spark, ids)
+    e = make_edges(spark, [(p, c) for c in ids if c > 1 for p in [c // 2]])
+    got = as_dict(bfs(v, e, source=1, impl="dataframe", broadcast_rows=1))
+    assert got == _bfs_oracle_binary_tree(levels)
+
+
+def test_bfs_dense_fraction_switch_matches_push(spark):
+    """dense_fraction=0 switches to the seeded PIE kernel after round 1 —
+    exact parity with the pure push path, both directions."""
+    from libgrape_lite_spark.operators import bfs
+    from libgrape_lite_spark.operators.bfs import INT64_MAX
+
+    levels = 5
+    ids = list(range(1, 2**levels))
+    v = make_vertices(spark, ids)
+    pairs = [(p, c) for c in ids if c > 1 for p in [c // 2]]
+    e = make_edges(spark, pairs)
+    got = as_dict(bfs(v, e, source=1, impl="dataframe", dense_fraction=0.0))
+    assert got == _bfs_oracle_binary_tree(levels)
+
+    # directed from a mid vertex: unreachable stays INT64_MAX through the
+    # seeded-kernel finish too
+    got_dir = as_dict(bfs(v, e, source=2, directed=True, impl="dataframe", dense_fraction=0.0))
+    want = {i: INT64_MAX for i in ids}
+    want[2] = 0
+    for c in ids:
+        if c > 1:
+            anc, d = c, 0
+            while anc > 2:
+                anc //= 2
+                d += 1
+            if anc == 2:
+                want[c] = d
+    assert got_dir == want
+
+
+def test_bfs_switch_rounds_deep_chain(spark):
+    """A 40-level chain with switch_rounds=5 finishes through the seeded
+    kernel (frontier persists) — exact depths."""
+    from libgrape_lite_spark.operators import bfs
+
+    n = 40
+    v = make_vertices(spark, list(range(1, n + 1)))
+    e = make_edges(spark, [(i, i + 1) for i in range(1, n)])
+    got = as_dict(bfs(v, e, source=1, impl="dataframe", switch_rounds=5))
+    assert got == {i: i - 1 for i in range(1, n + 1)}
