@@ -232,6 +232,19 @@ def _q_embedding_topk_lsh(spark, sf_dir):
     )
 
 
+def _q_knn_ivf(spark, sf_dir):
+    from libgrape_lite_spark.operators.knn import knn_ivf
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    res = knn_ivf(
+        emb, emb.where(F.col("vec_id") < 10),
+        k=5, n_centroids=16, n_probe=4, kmeans_iters=3,
+    )
+    return res.select(
+        "query_id", "neighbor_id", "cos", F.col("rank").cast("long").alias("rank")
+    )
+
+
 def _q_embedding_dedup(spark, sf_dir):
     from libgrape_lite_spark.operators.dedup import dedup_embedding_cosine
 
@@ -306,6 +319,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash": _q_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
+        "knn_ivf": _q_knn_ivf,
         "embedding_dedup": _q_embedding_dedup,
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
@@ -703,6 +717,76 @@ r AS (
 SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= 5"""
 
 
+def _sql_knn_ivf(
+    n_centroids: int = 16, n_probe: int = 4, iters: int = 3, k: int = 5,
+    dim: int = _EMB_DIM,
+) -> str:
+    """knn_ivf mirrored END-TO-END in SQL — including the deterministic
+    spherical k-means fit (operators/knn.py:kmeans_fit): seeds = the
+    ``n_centroids`` vectors with smallest md5(id) in id order, then
+    ``iters`` Lloyd rounds of (argmax-cosine assign → per-cell mean
+    ROUNDed to 9 digits — same rounding the Spark side applies, so both
+    engines land on bit-identical centroids each iteration). IVF search:
+    corpus inverted-listed under final cells, queries probe their
+    ``n_probe`` best cells (sim DESC, cell ASC — the Spark kernel's
+    stable argsort), exact cosine scoring, knn tie-break."""
+    norm = "CASE WHEN sqrt(list_dot_product({0}, {0})) = 0 THEN 1 ELSE sqrt(list_dot_product({0}, {0})) END"
+    ctes = [f"""e AS MATERIALIZED (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+en AS MATERIALIZED (
+  SELECT vec_id, v, list_transform(v, x -> x / ({norm.format('v')})) AS u FROM e),
+c0 AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS cell, v AS c
+  FROM (SELECT vec_id, v FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT {n_centroids}))"""]
+    for i in range(1, iters + 1):
+        p = f"c{i - 1}"
+        ctes.append(f"""{p}n AS (
+  SELECT cell, list_transform(c, x -> x / ({norm.format('c')})) AS cu FROM {p}),
+a{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, cn.cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id
+                              ORDER BY list_dot_product(en.u, cn.cu) DESC, cn.cell) AS rn
+    FROM en, {p}n cn) WHERE rn = 1),
+m{i} AS (
+  SELECT cell, list(mv ORDER BY j) AS c FROM (
+    SELECT a{i}.cell AS cell, r.j AS j, ROUND(AVG(en.v[r.j]), 9) AS mv
+    FROM a{i} JOIN en USING (vec_id), range(1, {dim + 1}) AS r(j)
+    GROUP BY 1, 2) GROUP BY cell),
+c{i} AS (
+  SELECT p.cell, COALESCE(m{i}.c, p.c) AS c FROM {p} p LEFT JOIN m{i} USING (cell))""")
+    ctes.append(f"""cf AS (
+  SELECT cell, list_transform(c, x -> x / ({norm.format('c')})) AS cu FROM c{iters}),
+corpus_cells AS MATERIALIZED (
+  SELECT vec_id, cell FROM (
+    SELECT en.vec_id, cf.cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id
+                              ORDER BY list_dot_product(en.u, cf.cu) DESC, cf.cell) AS rn
+    FROM en, cf) WHERE rn = 1),
+query_cells AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT en.vec_id, cf.cell,
+           ROW_NUMBER() OVER (PARTITION BY en.vec_id
+                              ORDER BY list_dot_product(en.u, cf.cu) DESC, cf.cell) AS rn
+    FROM en, cf WHERE en.vec_id < 10) WHERE rn <= {n_probe}),
+cand AS (
+  SELECT DISTINCT q.query_id, c.vec_id AS neighbor_id
+  FROM query_cells q JOIN corpus_cells c USING (cell)
+  WHERE q.query_id <> c.vec_id),
+s AS (
+  SELECT cd.query_id, cd.neighbor_id,
+         ROUND(list_dot_product(eq.v, ec.v)
+               / (sqrt(list_dot_product(eq.v, eq.v)) * sqrt(list_dot_product(ec.v, ec.v))), 6) AS cos
+  FROM cand cd JOIN e eq ON eq.vec_id = cd.query_id JOIN e ec ON ec.vec_id = cd.neighbor_id),
+r AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank FROM s)""")
+    body = ",\n".join(ctes)
+    return (
+        f"WITH {body}\n"
+        f"SELECT query_id, neighbor_id, cos, CAST(rank AS BIGINT) AS rank FROM r WHERE rank <= {k}"
+    )
+
+
 def _sql_text_stats() -> str:
     from libgrape_lite_spark.functions.text import LANG_STOPWORDS, TOKEN_REGEX
 
@@ -767,6 +851,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash": _sql_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_topk_lsh": _sql_embedding_topk_lsh(),
+        "knn_ivf": _sql_knn_ivf(),
         "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "multimodal_bytes": _sql_multimodal(),

@@ -113,7 +113,8 @@ def cosine(a: Column, b: Column) -> Column:
 
 def jaccard_pairs(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
-    shingle_n: int = 3, threshold: float = 0.1, df_cap: int | None = None,
+    shingle_n: int = 3, threshold: float = 0.1,
+    df_cap: int | str | None = None, uncapped_guard: int = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard over all pairs sharing ≥1 shingle.
 
@@ -131,11 +132,35 @@ def jaccard_pairs(
     definition, shared with thousands of non-duplicates. At 100 TB either
     set a cap or feed LSH candidates to the verify stage instead
     (operators/dedup.py:dedup_minhash).
+
+    ``df_cap=None`` (default) is uncapped but GUARDED: the per-shingle
+    document frequency is pre-aggregated (one cheap agg — the join below
+    computes it implicitly anyway) and a ``ValueError`` is raised when any
+    shingle's df exceeds ``uncapped_guard`` — the point where the self-join
+    has gone quadratic on a hot shingle. Pass ``df_cap="unbounded"`` to
+    opt into the truly uncapped join (test-scale corpora only).
     """
+    if isinstance(df_cap, str) and df_cap != "unbounded":
+        raise ValueError(f"df_cap must be an int, None, or 'unbounded', got {df_cap!r}")
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
     )
     if df_cap is None:
+        hot = (
+            base.select(F.explode("sh").alias("s"))
+            .groupBy("s")
+            .agg(F.count(F.lit(1)).alias("dfreq"))
+            .agg(F.max("dfreq").alias("m"))
+            .collect()[0]["m"]
+        )
+        if hot is not None and hot > uncapped_guard:
+            raise ValueError(
+                f"uncapped jaccard_pairs: hottest shingle appears in {hot} docs "
+                f"(> uncapped_guard={uncapped_guard}) — the shingle self-join would "
+                f"generate ~{hot}² rows for that key. Set df_cap (recommended) or "
+                f"pass df_cap='unbounded' to override."
+            )
+    if df_cap is None or df_cap == "unbounded":
         ex = base.withColumn("n_sh", F.size("sh")).select(
             "id", "n_sh", F.explode("sh").alias("s")
         )

@@ -58,13 +58,36 @@ def decode_image_stub(codec: str) -> None:
     )
 
 
-def extract_features(df: DataFrame) -> DataFrame:
+def extract_features(df: DataFrame, tiled_bytes_cap: int = 8 << 20) -> DataFrame:
     """(id, payload, meta) → (id, mean_r, mean_g, mean_b, n_bytes).
 
-    Arrow-batched mapInPandas kernel; NumPy per batch, no per-row Python.
-    The payload column never survives past this operator — downstream
-    shuffles carry only narrow feature rows.
+    Arrow-batched mapInPandas kernel; NumPy per sub-batch, no per-row
+    Python. The payload column never survives past this operator —
+    downstream shuffles carry only narrow feature rows.
+
+    ``tiled_bytes_cap``: transient memory is ~26× the tiled (decoded) byte
+    count — three int64 index arrays plus the float64 bincount input — so
+    each Arrow batch is processed in sub-batches tiling at most this many
+    bytes (~220 MB transient at the default), bounding executor memory
+    regardless of Arrow batch size or payload fatness (an uncapped 10k-row
+    batch of 1 MB images would otherwise need ~0.8 TB).
     """
+
+    def _chunk_means(payloads, widths, heights, lens, need) -> np.ndarray:
+        """Vectorized channel means for one bounded chunk of rows."""
+        n = len(lens)
+        # batch-flat buffer (one C-level join), then pure index math:
+        # row i's tiled byte j is flat[flat_start_i + (j mod len_i)]
+        flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+        flat_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        tiled_starts = np.concatenate([[0], np.cumsum(need)[:-1]])
+        row = np.repeat(np.arange(n), need)
+        j = np.arange(int(need.sum())) - tiled_starts[row]
+        tiled = flat[flat_starts[row] + (j % lens[row])]
+        # one bincount for all (row, channel) cells
+        code = row * 3 + (j % 3)
+        sums = np.bincount(code, weights=tiled, minlength=3 * n).reshape(n, 3)
+        return sums / (widths * heights)[:, None]
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -74,11 +97,9 @@ def extract_features(df: DataFrame) -> DataFrame:
             bad = codecs[codecs != "fake-rgb8"]
             if len(bad):
                 decode_image_stub(bad.iloc[0])
-            # one flat concat + segment reduction over the whole Arrow batch
-            # (no per-row Python): the fake decode tiles payload bytes to
-            # w*h*3, so channel means are means over byte positions ≡ c mod 3
-            # of the tiled stream — computed with np.add.reduceat on the
-            # concatenated buffer.
+            # the fake decode tiles payload bytes to w*h*3, so channel
+            # means are means over byte positions ≡ c mod 3 of the tiled
+            # stream — segment-reduced per bounded sub-batch
             n = len(pdf)
             widths = pdf["meta"].map(lambda m: m["width"]).to_numpy(np.int64)
             heights = pdf["meta"].map(lambda m: m["height"]).to_numpy(np.int64)
@@ -87,18 +108,21 @@ def extract_features(df: DataFrame) -> DataFrame:
             payloads = pdf["payload"].map(lambda p: p if len(p) else b"\x00")
             lens = payloads.map(len).to_numpy(np.int64)
             need = widths * heights * 3
-            # batch-flat buffer (one C-level join), then pure index math:
-            # row i's tiled byte j is flat[flat_start_i + (j mod len_i)]
-            flat = np.frombuffer(b"".join(payloads), dtype=np.uint8)
-            flat_starts = np.concatenate([[0], np.cumsum(lens)[:-1]])
-            tiled_starts = np.concatenate([[0], np.cumsum(need)[:-1]])
-            row = np.repeat(np.arange(n), need)
-            j = np.arange(int(need.sum())) - tiled_starts[row]
-            tiled = flat[flat_starts[row] + (j % lens[row])]
-            # one bincount for all (row, channel) cells
-            code = row * 3 + (j % 3)
-            sums = np.bincount(code, weights=tiled, minlength=3 * n).reshape(n, 3)
-            means = sums / (widths * heights)[:, None]
+            # split rows so each sub-batch tiles ≤ tiled_bytes_cap bytes
+            # (a single oversized row becomes its own sub-batch)
+            cuts = [0]
+            acc = 0
+            for i, nd in enumerate(need):
+                if acc + nd > tiled_bytes_cap and i > cuts[-1]:
+                    cuts.append(i)
+                    acc = 0
+                acc += int(nd)
+            cuts.append(n)
+            means = np.empty((n, 3), dtype=np.float64)
+            for s, e in zip(cuts[:-1], cuts[1:]):
+                means[s:e] = _chunk_means(
+                    payloads.iloc[s:e], widths[s:e], heights[s:e], lens[s:e], need[s:e]
+                )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

@@ -228,14 +228,24 @@ def kmeans_fit(
     iters: int = 3,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    round_digits: int | None = 9,
 ) -> np.ndarray:
     """Deterministic distributed Lloyd's k-means (spherical): init = the
     vectors with the ``n_centroids`` smallest md5(id) values (a determinist
     sample, reproducible across partitionings), then ``iters`` rounds of
     assign (Arrow matmul kernel) + per-cell mean (applyInPandas). Centroid
     set is tiny (n_centroids × dim) — it rides the closure, never a join.
+
+    ``round_digits``: updated centroids are rounded each iteration so an
+    independent re-implementation (the DuckDB oracle mirror in
+    ``__spark_entry__._sql_knn_ivf``) lands on bit-identical centroids —
+    last-ulp summation differences cannot compound across iterations.
     """
-    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # one cached pass over the corpus feeds every Lloyd iteration (was:
+    # re-read twice per iteration — 2×iters full scans at 100 TB)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).localCheckpoint(
+        eager=True
+    )
     seed_ids = (
         base.select("id", F.md5(F.col("id").cast("string")).alias("h"))
         .orderBy("h")
@@ -247,6 +257,10 @@ def kmeans_fit(
     )
 
     def mean_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # sort by id: the reduction order (and thus the float64 sum) is
+        # partition-layout-invariant — centroids are bit-identical across
+        # runs AND cluster sizes, which the DuckDB oracle mirror relies on
+        pdf = pdf.sort_values("id")
         m = np.vstack(pdf["v"].to_numpy()).astype(np.float64).mean(axis=0)
         return pd.DataFrame({"cell": [key[0]], "c": [m.tolist()]})
 
@@ -261,8 +275,11 @@ def kmeans_fit(
         )
         new = centroids.copy()
         for r in rows:
-            new[r["cell"]] = r["c"]
-        if np.allclose(new, centroids):
+            new[r["cell"]] = np.round(r["c"], round_digits) if round_digits else r["c"]
+        # exact fixpoint only (a tolerance stop would diverge from the
+        # fixed-iteration SQL mirror; iterating past a true fixpoint is a
+        # no-op, so fixed `iters` and early-exact-stop agree)
+        if np.array_equal(new, centroids):
             break
         centroids = new
     return centroids
@@ -306,7 +323,9 @@ def knn_ivf(
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
             sims = (mat / vn[:, None]) @ cn.T
-            top = np.argsort(-sims, axis=1)[:, :n_probe]
+            # stable sort: equal sims keep ascending cell order — the same
+            # (sim DESC, cell ASC) tie-break the SQL oracle mirror uses
+            top = np.argsort(-sims, axis=1, kind="stable")[:, :n_probe]
             n = len(pdf)
             yield pd.DataFrame(
                 {

@@ -168,6 +168,20 @@ def _apply_mutation(
         touched = ids if touched is None else touched.unionByName(ids)
     if mut.remove_vertices is not None:
         ids = mut.remove_vertices.select("id")
+        # surviving neighbors of a removed vertex lose incident edges —
+        # re-activate them (collected BEFORE the anti-join) so propagation
+        # resumes through the changed topology, matching processMutation's
+        # re-activation of mutated-edge endpoints (worker.h:176-187)
+        nbrs = (
+            adj.join(ids.withColumnRenamed("id", "src"), "src")
+            .select(F.col("dst").alias("id"))
+            .unionByName(
+                adj.join(ids.withColumnRenamed("id", "dst"), "dst")
+                .select(F.col("src").alias("id"))
+            )
+            .join(ids, "id", "left_anti")
+        )
+        touched = nbrs if touched is None else touched.unionByName(nbrs)
         adj = adj.join(ids.withColumnRenamed("id", "src"), "src", "left_anti").join(
             ids.withColumnRenamed("id", "dst"), "dst", "left_anti"
         )

@@ -93,9 +93,29 @@ def stream_khop_sampler(
     state is compacted to parquet under ``checkpoint_path`` and re-read —
     so executor-memory block usage stays one table's worth instead of an
     ever-growing union of per-batch blocks, and a restarted job recovers
-    the graph from the last compaction instead of replaying the stream.
+    the graph from the last compaction instead of replaying the stream:
+    on start with ``initial_edges=None`` the newest committed
+    ``edge_state_<gen>`` dir (tracked by the ``edge_state_CURRENT``
+    marker, written after each compaction commit) is loaded and the
+    ping-pong generation resumes from it — the restarted run never
+    overwrites the compaction it just recovered from. (The marker is a
+    plain file next to the parquet — the seam where an Iceberg catalog
+    commit would go in production.)
     """
+    import os
+
     state = {"edges": initial_edges, "since_compact": 0, "gen": 0}
+    marker = os.path.join(checkpoint_path, "edge_state_CURRENT")
+    if initial_edges is None:
+        try:
+            with open(marker) as fh:
+                g = int(fh.read().strip())
+            d = os.path.join(checkpoint_path, f"edge_state_{g}")
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                state["edges"] = spark.read.parquet(d)
+                state["gen"] = g
+        except (FileNotFoundError, ValueError, OSError):
+            pass
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         new_edges = batch_df.select("src", "dst", "weight")
@@ -111,6 +131,8 @@ def stream_khop_sampler(
             compact_dir = f"{checkpoint_path}/edge_state_{state['gen']}"
             acc.write.mode("overwrite").parquet(compact_dir)
             acc = spark.read.parquet(compact_dir)
+            with open(marker, "w") as fh:  # commit point for restart recovery
+                fh.write(str(state["gen"]))
             state["since_compact"] = 0
         else:
             acc = acc.localCheckpoint(eager=True)  # bound lineage across batches

@@ -251,3 +251,38 @@ def test_knn_ivf_recall_and_determinism(spark):
     ivf = {(a, b) for a, b, _ in runs[0]}
     recall = len(ivf & bf) / len(bf)
     assert recall >= 0.5, recall  # n_probe=4 of 8 cells on noise vectors
+
+
+def test_multimodal_sub_batch_cap_identical_results(spark):
+    """tiled_bytes_cap small enough to force one sub-batch PER ROW must
+    give byte-identical features to the single-chunk path (round-3 memory
+    bound fix)."""
+    from libgrape_lite_spark.multimodal import attach_binary_payload, extract_features
+
+    d = spark.createDataFrame(
+        [(i, ("paylod%d " % i) * (10 + i)) for i in range(1, 30)] + [(99, "")],
+        "doc_id long, text string",
+    )
+    withbin = attach_binary_payload(d).coalesce(1)  # one Arrow batch
+    big = {r["doc_id"]: r for r in extract_features(withbin).collect()}
+    tiny = {r["doc_id"]: r for r in extract_features(withbin, tiled_bytes_cap=1).collect()}
+    assert big == tiny
+
+
+def test_jaccard_uncapped_guard(spark):
+    """df_cap=None raises on a hot shingle past uncapped_guard; the
+    explicit 'unbounded' opt-in still runs (round-3 posture fix)."""
+    import pytest as _pytest
+
+    from libgrape_lite_spark.functions.similarity import jaccard_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "common filler words here") for i in range(8)],
+        "doc_id long, text string",
+    )
+    with _pytest.raises(ValueError, match="uncapped jaccard_pairs"):
+        jaccard_pairs(docs, shingle_n=1, threshold=0.0, uncapped_guard=5)
+    got = jaccard_pairs(docs, shingle_n=1, threshold=0.0, df_cap="unbounded").collect()
+    assert len(got) == 8 * 7 // 2  # identical docs: every pair at jaccard 1.0
+    with _pytest.raises(ValueError, match="df_cap must be"):
+        jaccard_pairs(docs, df_cap="nonsense")

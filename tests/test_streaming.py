@@ -158,3 +158,65 @@ def test_stream_sampler_rate_source_broker_analog(spark, tmp_path):
     # once the counter passed 2, the 2-hop answer from root 0 must appear
     got = {(r["root"], r["hop"], r["src"], r["dst"]) for r in out.collect()}
     assert (0, 1, 0, 1) in got and (0, 2, 1, 2) in got
+
+
+def test_stream_sampler_restart_recovers_compaction(spark, tmp_path):
+    """Kill-restart parity: a second sampler run with initial_edges=None
+    and the same checkpoint path must recover the edge state from the last
+    committed compaction (edge_state_CURRENT marker) — answers after the
+    restart see edges that arrived only before it (round-3 fix)."""
+    from libgrape_lite_spark.streaming import stream_khop_sampler
+
+    src_dir = tmp_path / "edge_updates"
+    src_dir.mkdir()
+    # run 1: chain 0→1→2→3→4 in 4 single-edge micro-batches, compact_every=2
+    for i in range(4):
+        spark.createDataFrame(
+            [(i, i + 1, 1.0)], "src long, dst long, weight double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"b{i}"))
+
+    def make_stream():
+        return (
+            spark.readStream.schema("src long, dst long, weight double")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src_dir / "*"))
+        )
+
+    queries = spark.createDataFrame([(0,)], "root long")
+    sink = str(tmp_path / "paths")
+    ckpt = tmp_path / "sck"
+    q = stream_khop_sampler(
+        spark, make_stream(), queries,
+        sink_path=sink, checkpoint_path=str(ckpt),
+        hops=2, fanout=2, compact_every=2,
+    )
+    q.awaitTermination(180)
+    assert (ckpt / "edge_state_CURRENT").exists()
+    gen_before = int((ckpt / "edge_state_CURRENT").read_text())
+
+    # two more edges arrive while the job is "down"
+    for i in (4, 5):
+        spark.createDataFrame(
+            [(i, i + 1, 1.0)], "src long, dst long, weight double"
+        ).coalesce(1).write.mode("overwrite").parquet(str(src_dir / f"b{i}"))
+
+    # run 2: fresh sampler, NO initial_edges — must load the compaction and
+    # resume the streaming source from its checkpoint (only new files)
+    q2 = stream_khop_sampler(
+        spark, make_stream(), queries,
+        sink_path=sink, checkpoint_path=str(ckpt),
+        hops=2, fanout=2, compact_every=2,
+    )
+    q2.awaitTermination(180)
+
+    out = spark.read.parquet(sink)
+    last = out.where(
+        F.col("batch_id") == out.agg(F.max("batch_id")).collect()[0][0]
+    )
+    got = sorted((r["root"], r["hop"], r["src"], r["dst"]) for r in last.collect())
+    # 0→1 and 1→2 arrived BEFORE the restart: only compaction recovery can
+    # produce them in post-restart answers
+    assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
+    # a post-restart compaction ping-pongs AWAY from the recovered dir
+    gen_after = int((ckpt / "edge_state_CURRENT").read_text())
+    assert gen_after == (gen_before ^ 1)

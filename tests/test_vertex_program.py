@@ -99,3 +99,65 @@ def test_in_computation_mutation_vertex_add_remove(spark):
     }
     # 6 removed; 99 bridges 0-1 and 5 → everything collapses to comp 0
     assert got == {0: 0, 1: 0, 5: 0, 99: 0}
+
+
+def test_mutation_remove_vertex_reactivates_neighbors(spark):
+    """An in-degree-counting program converges, then a vertex is removed:
+    the removal must re-activate the surviving opposite endpoints so the
+    fixpoint resumes and recomputes through the changed topology
+    (round-3 fix — before it, remove_vertices woke nobody and the stale
+    in-degree survived)."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.plans.vertex_program import (
+        Mutation,
+        VertexProgram,
+        run_vertex_program,
+    )
+    from tests.conftest import make_vertices
+
+    def init(vertices, edges):
+        return vertices.select("id", F.lit(-1).cast("long").alias("val"))
+
+    def apply(state, msgs):
+        return (
+            state.select("id", "val")
+            .join(msgs, "id", "left")
+            .select(
+                "id",
+                F.coalesce("msg", F.lit(0)).cast("long").alias("val"),
+                (F.coalesce("msg", F.lit(0)).cast("long") != F.col("val")).alias(
+                    "changed"
+                ),
+            )
+        )
+
+    prog = VertexProgram(
+        init=init,
+        message=lambda j: F.lit(1).cast("long"),
+        merge="sum",
+        apply=apply,
+        directed=True,
+        frontier_only=False,  # every round recounts: val = current in-degree
+    )
+
+    v = make_vertices(spark, [1, 2, 4])
+    e = spark.createDataFrame([(1, 4, 1.0), (2, 4, 1.0)], "src long, dst long, weight double")
+
+    fired = {"done": False}
+
+    def mutate(step, state):
+        # fire exactly when the program has converged (active would be 0)
+        cur = {r["id"]: r["val"] for r in state.collect()}
+        if not fired["done"] and cur.get(4) == 2:
+            fired["done"] = True
+            return Mutation(remove_vertices=spark.createDataFrame([(2,)], "id long"))
+        return None
+
+    got = {
+        r["id"]: r["val"]
+        for r in run_vertex_program(v, e, prog, mutate=mutate).collect()
+    }
+    assert fired["done"], "mutation never fired"
+    # vertex 2 gone; vertex 4's in-degree must have been RECOMPUTED to 1
+    assert got == {1: 0, 4: 1}
