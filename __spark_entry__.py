@@ -113,6 +113,14 @@ def _q_pagerank(spark, sf_dir, directed=False):
     return _with_oid(pr, vertices, ["rank"]).select("oid", F.round("rank", 8).alias("rank"))
 
 
+def _q_pagerank_local(spark, sf_dir):
+    from libgrape_lite_spark.operators import pagerank_local
+
+    vertices, edges = _graph(spark, sf_dir)
+    pr = pagerank_local(vertices, edges, damping=0.85, max_rounds=PR_ROUNDS)
+    return _with_oid(pr, vertices, ["rank"]).select("oid", F.round("rank", 8).alias("rank"))
+
+
 def _q_cdlp(spark, sf_dir):
     from libgrape_lite_spark.operators import cdlp
 
@@ -305,6 +313,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "wcc": _q_wcc,
         "pagerank": lambda s, d: _q_pagerank(s, d, directed=False),
         "pagerank_directed": lambda s, d: _q_pagerank(s, d, directed=True),
+        "pagerank_local": _q_pagerank_local,
         "cdlp": _q_cdlp,
         "bfs": _q_bfs,
         "bfs_directed": lambda s, d: _q_bfs(s, d, directed=True),
@@ -447,6 +456,34 @@ def _sql_pagerank(directed: bool) -> str:
     return f"""WITH {_EDGES},
 {','.join(ctes)}
 SELECT oid, ROUND(CASE WHEN deg > 0 THEN r * deg ELSE r END, 8) AS rank FROM {prev_p}"""
+
+
+def _sql_pagerank_local() -> str:
+    """pagerank_local mirrored (pagerank_local.h): r0 = outdeg>0 ? 1/outdeg
+    : 1; per round r' = 1 - d + d·Σ_{(u,w)∈E} r[w] over the OUT-adjacency,
+    divided by outdeg on every round except the last; no dangling mass."""
+    ctes = [
+        """deg AS MATERIALIZED (
+  SELECT v.oid, CAST(COALESCE(c.c, 0) AS DOUBLE) AS deg
+  FROM vertices v LEFT JOIN (SELECT s AS oid, COUNT(*) AS c FROM uedges GROUP BY 1) c USING (oid))""",
+        """pl0 AS MATERIALIZED (
+  SELECT oid, deg, CASE WHEN deg > 0 THEN 1.0 / deg ELSE 1.0 END AS r FROM deg)""",
+    ]
+    prev = "pl0"
+    for k in range(1, PR_ROUNDS + 1):
+        div = "" if k == PR_ROUNDS else "CASE WHEN p.deg > 0 THEN 1.0 / p.deg ELSE 1.0 END * "
+        ctes.append(
+            f"""pl{k} AS MATERIALIZED (
+  SELECT p.oid, p.deg,
+         {div}(1 - 0.85 + 0.85 * COALESCE(g.s, 0)) AS r
+  FROM {prev} p
+  LEFT JOIN (SELECT u.s AS oid, SUM(q.r) AS s FROM uedges u JOIN {prev} q ON q.oid = u.d GROUP BY 1) g
+    USING (oid))"""
+        )
+        prev = f"pl{k}"
+    return f"""WITH {_EDGES},
+{','.join(ctes)}
+SELECT oid, ROUND(r, 8) AS rank FROM {prev}"""
 
 
 def _sql_cdlp() -> str:
@@ -837,6 +874,7 @@ def oracle_sql() -> dict[str, str]:
         "wcc": _sql_wcc(),
         "pagerank": _sql_pagerank(directed=False),
         "pagerank_directed": _sql_pagerank(directed=True),
+        "pagerank_local": _sql_pagerank_local(),
         "cdlp": _sql_cdlp(),
         "bfs": _sql_bfs(),
         "bfs_directed": _sql_bfs(directed=True),

@@ -137,20 +137,26 @@ def _sssp_auto(
     (used by BFS's dense-round switch; missing ids are +inf)."""
     import time as _time
 
-    from libgrape_lite_spark.plans.kernels import local_relax_fixpoint, segment_part
+    from libgrape_lite_spark.plans.kernels import (
+        edge_balanced_bounds,
+        local_relax_fixpoint,
+        segment_part_bounds,
+    )
 
     spark = vertices.sparkSession
     with static_plans(spark):
         nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        id_bound = int(vertices.agg(F.max("id")).collect()[0][0]) + 1
         adj = (
             edges.select("src", "dst", "weight")
             if directed
             else undirected(edges.select("src", "dst", "weight"))
         )
+        # edge-count-balanced fragment ranges (Rebalancer parity) — skewed
+        # graphs keep ≈E/nf edges per fragment; results partitioning-invariant
+        bounds = edge_balanced_bounds(adj, nf, key="src")
         adj = (
             adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
-            .withColumn("part", segment_part("src", nf, id_bound))
+            .withColumn("part", segment_part_bounds("src", bounds))
             .repartition(nf, "part")
             .localCheckpoint(eager=True)
         )
@@ -174,7 +180,7 @@ def _sssp_auto(
             t0 = _time.time()
             step += 1
             cand = local_relax_fixpoint(
-                adj, state.select("id", "dist"), "dist", nf, id_bound=id_bound
+                adj, state.select("id", "dist"), "dist", nf, bounds=bounds
             )
             new_state = (
                 state.select("id", "dist")

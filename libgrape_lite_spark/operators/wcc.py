@@ -213,18 +213,27 @@ def _wcc_kernel_auto(
     from O(diameter) to O(cross-fragment diameter)."""
     import time as _time
 
-    from libgrape_lite_spark.plans.kernels import local_min_fixpoint, segment_part
+    from libgrape_lite_spark.plans.kernels import (
+        edge_balanced_bounds,
+        local_min_fixpoint,
+        segment_part_bounds,
+    )
     from libgrape_lite_spark.session import static_plans
 
     spark = vertices.sparkSession
     with static_plans(spark):
         nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-        id_bound = int(vertices.agg(F.max("id")).collect()[0][0]) + 1
+        # fragment boundaries from EDGE-COUNT quantiles (Rebalancer parity,
+        # rebalancer.h:28-45): a skewed graph still yields ≈E/nf edges per
+        # contiguous range; results are partitioning-invariant
+        bounds = edge_balanced_bounds(
+            undirected(edges.select("src", "dst")), nf, key="src"
+        )
         adj = (
             undirected(edges.select("src", "dst"))
             .where(F.col("src") != F.col("dst"))
             .dropDuplicates(["src", "dst"])
-            .withColumn("part", segment_part("src", nf, id_bound))
+            .withColumn("part", segment_part_bounds("src", bounds))
             .repartition(nf, "part")
             .localCheckpoint(eager=True)
         )
@@ -241,7 +250,7 @@ def _wcc_kernel_auto(
         while max_rounds is None or step < max_rounds:
             t0 = _time.time()
             step += 1
-            nbr_min = local_min_fixpoint(adj, state, "comp", nf, id_bound=id_bound)
+            nbr_min = local_min_fixpoint(adj, state, "comp", nf, bounds=bounds)
             new_state = state.join(nbr_min, "id", "left").select(
                 "id",
                 F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),

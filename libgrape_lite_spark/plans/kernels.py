@@ -134,6 +134,7 @@ def local_min_fixpoint(
     value_col: str,
     num_fragments: int,
     id_bound: int | None = None,
+    bounds: list[int] | None = None,
 ) -> DataFrame:
     """wcc_auto-style PEval (wcc_auto.h:46-135): per fragment, propagate min
     labels through the fragment's LOCAL edges to a local fixpoint before
@@ -189,9 +190,14 @@ def local_min_fixpoint(
         return pd.DataFrame({"id": nodes[improved], "gathered": comp[improved]})
 
     # state must ride the SAME partitioner as the edges' src (hash by
-    # default, segmented when id_bound is given) so the cogroup pairs each
-    # fragment with exactly its inner vertices' state
-    if id_bound is not None:
+    # default, segmented when id_bound is given, edge-count-balanced ranges
+    # when bounds is given) so the cogroup pairs each fragment with exactly
+    # its inner vertices' state
+    if bounds is not None:
+        state_p = state.select("id", value_col).withColumn(
+            "part", segment_part_bounds("id", bounds)
+        )
+    elif id_bound is not None:
         state_p = state.select("id", value_col).withColumn(
             "part", segment_part("id", num_fragments, id_bound)
         )
@@ -212,6 +218,7 @@ def local_relax_fixpoint(
     num_fragments: int,
     id_bound: int | None = None,
     weight_col: str = "weight",
+    bounds: list[int] | None = None,
 ) -> DataFrame:
     """sssp_auto-style PEval (sssp_auto.h:46-123): per fragment, relax
     ``d[dst] = min(d[dst], d[src] + w)`` over the fragment's LOCAL edges to
@@ -252,7 +259,11 @@ def local_relax_fixpoint(
         improved = d < known
         return pd.DataFrame({"id": nodes[improved], "gathered": d[improved]})
 
-    if id_bound is not None:
+    if bounds is not None:
+        state_p = state.select("id", value_col).withColumn(
+            "part", segment_part_bounds("id", bounds)
+        )
+    elif id_bound is not None:
         state_p = state.select("id", value_col).withColumn(
             "part", segment_part("id", num_fragments, id_bound)
         )
@@ -316,3 +327,42 @@ def gather_label_counts(
         .applyInPandas(kernel, schema="id long, label long, cnt long")
     )
     return partials.groupBy("id", "label").agg(F.sum("cnt").alias("cnt"))
+
+
+def edge_balanced_bounds(
+    edges: DataFrame, num_fragments: int, key: str = "src",
+    relative_error: float = 0.001,
+) -> list[int]:
+    """Rebalancer parity (grape/fragment/rebalancer.h:28-45): fragment
+    boundaries chosen from EDGE-COUNT quantiles of the ``key`` endpoint —
+    each contiguous id range carries ≈ E/num_fragments edges, so a skewed
+    (power-law) graph still gives the PIE kernels balanced fragments where
+    id-uniform ranges would pile every hub's edges into one fragment.
+
+    One ``approxQuantile`` pass at graph-build time (the same cost class as
+    the id_bound max()); returns ≤ num_fragments-1 strictly-increasing int
+    boundaries. Duplicate quantiles (one id holding > E/num_fragments
+    edges) collapse — fragments can be fewer than requested, never wrong.
+    """
+    if num_fragments <= 1:
+        return []
+    qs = [i / num_fragments for i in range(1, num_fragments)]
+    raw = edges.approxQuantile(key, qs, relative_error)
+    out: list[int] = []
+    for b in raw:
+        ib = int(b)
+        if not out or ib > out[-1]:
+            out.append(ib)
+    return out
+
+
+def segment_part_bounds(col: str, bounds: list[int]):
+    """Partition expression for :func:`edge_balanced_bounds` boundaries:
+    ``part = Σ (col > bound)`` — a flat integer comparison chain (exact
+    past 2^53, no division). Range i is (bounds[i-1], bounds[i]]."""
+    if not bounds:
+        return F.lit(0)
+    expr = (F.col(col) > F.lit(bounds[0])).cast("int")
+    for b in bounds[1:]:
+        expr = expr + (F.col(col) > F.lit(b)).cast("int")
+    return expr

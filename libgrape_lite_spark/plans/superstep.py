@@ -69,13 +69,22 @@ class IterationDriver:
         checkpoint_every: int = 5,
         metrics_path: str | None = None,
         verbose: bool = False,
+        storage_level=None,
     ) -> None:
+        """``storage_level``: StorageLevel for the per-superstep
+        localCheckpoints. None = Spark's default (deserialized rows).
+        ``StorageLevel.MEMORY_AND_DISK`` (serialized) packs each cached
+        partition into few byte arrays instead of one object per row —
+        measured to cut executor GC substantially on big states (the
+        right choice for low-core executors, where GC threads share the
+        task's pinned CPUs)."""
         self.spark = spark
         self.run_id = run_id or uuid.uuid4().hex[:12]
         self.checkpoint_dir = checkpoint_dir
         self.checkpoint_every = max(1, checkpoint_every)
         self.metrics_path = metrics_path
         self.verbose = verbose
+        self.storage_level = storage_level
         self.metrics: list[SuperstepMetric] = []
         self._persisted: list[DataFrame] = []
 
@@ -87,7 +96,10 @@ class IterationDriver:
         and truncates the logical plan. On a real cluster with unreliable
         executors, the parquet checkpoint below is the durable copy.
         """
-        out = df.localCheckpoint(eager=True)
+        if self.storage_level is not None:
+            out = df.localCheckpoint(eager=True, storageLevel=self.storage_level)
+        else:
+            out = df.localCheckpoint(eager=True)
         self._gc(keep=out)
         if self.checkpoint_dir and step % self.checkpoint_every == 0:
             self._commit_checkpoint(out, step)

@@ -70,7 +70,7 @@ def khop_sample(
 def stream_khop_sampler(
     spark,
     edge_stream: DataFrame,
-    queries: DataFrame,
+    queries: DataFrame | None,
     sink_path: str,
     checkpoint_path: str,
     hops: int = 2,
@@ -81,11 +81,20 @@ def stream_khop_sampler(
 ):
     """Wire the batch kernel into Structured Streaming with foreachBatch.
 
-    ``edge_stream`` — streaming DataFrame(src, dst, weight) of edge
-    updates (Kafka in production: ``readStream.format('kafka')`` + parse);
-    state is the accumulated edge table (append-only fragment analog,
-    gnn_sampler AppendOnlyEdgecutFragment); every micro-batch answers all
-    ``queries`` against the updated graph and appends results to
+    ``edge_stream`` — streaming DataFrame of edge updates (Kafka in
+    production: ``readStream.format('kafka')`` + parse). Two schemas:
+
+    * ``(src, dst, weight)`` — pure edge updates; the static ``queries``
+      DataFrame is (re-)answered every micro-batch;
+    * ``(kind, src, dst, weight)`` — the reference's interleaved Kafka feed
+      (kafka_consumer.h:104: ``e src dst w`` and ``q v`` messages on one
+      topic): rows with ``kind='e'`` are edge updates, rows with
+      ``kind='q'`` are queries (root in ``src``) that arrive mid-stream
+      and are answered ONCE, against the graph as of their own batch
+      (edges in the same batch apply first — batch-granularity ordering).
+
+    State is the accumulated edge table (append-only fragment analog,
+    gnn_sampler AppendOnlyEdgecutFragment); results append to
     ``sink_path`` as parquet (Kafka producer analog).
 
     State growth is bounded two ways: every batch localCheckpoints the
@@ -118,7 +127,16 @@ def stream_khop_sampler(
             pass
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        new_edges = batch_df.select("src", "dst", "weight")
+        if "kind" in batch_df.columns:
+            new_edges = batch_df.where(F.col("kind") == "e").select(
+                "src", "dst", "weight"
+            )
+            batch_queries = batch_df.where(F.col("kind") == "q").select(
+                F.col("src").alias("root")
+            )
+        else:
+            new_edges = batch_df.select("src", "dst", "weight")
+            batch_queries = None
         acc = state["edges"]
         acc = new_edges if acc is None else acc.unionByName(new_edges)
         state["since_compact"] += 1
@@ -137,7 +155,16 @@ def stream_khop_sampler(
         else:
             acc = acc.localCheckpoint(eager=True)  # bound lineage across batches
         state["edges"] = acc
-        result = khop_sample(acc, queries, hops=hops, fanout=fanout)
+        roots = queries
+        if batch_queries is not None:
+            roots = (
+                batch_queries
+                if roots is None
+                else roots.unionByName(batch_queries)
+            )
+        if roots is None:
+            return
+        result = khop_sample(acc, roots, hops=hops, fanout=fanout)
         (
             result.withColumn("batch_id", F.lit(batch_id))
             .write.mode("append")

@@ -52,7 +52,7 @@ SPARK_HOME = Path(
 )
 WORK = Path("/tmp/spark-standalone-bench")
 MASTER_URL = "spark://127.0.0.1:7077"
-PR_ROUNDS = 10
+PR_ROUNDS = int(os.environ.get("SPARK_GRAFT_PR_ROUNDS", "10"))
 
 
 def _env() -> dict[str, str]:
@@ -131,8 +131,11 @@ def _run_leg(total_cores: int, n_conversations: int, exec_cores: int) -> dict:
     out = subprocess.run(
         [sys.executable, str(REPO / "scripts" / "_scaling_worker.py"),
          str(total_cores), str(n_conversations), "42", MASTER_URL],
-        capture_output=True, text=True, check=True, cwd=str(REPO), env=env,
+        capture_output=True, text=True, cwd=str(REPO), env=env,
     )
+    if out.returncode != 0:
+        sys.stderr.write(out.stderr[-4000:])
+        raise RuntimeError(f"leg with {total_cores} cores failed (rc={out.returncode})")
     line = [ln for ln in out.stdout.splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -149,36 +152,53 @@ def measure(n_conversations: int, cores_each: int, pins_n: list[str], pins_4n: l
     return {"n_leg": lo, "four_n_leg": hi, "efficiency": round(eff, 3)}
 
 
+def _pins(cores_each: int, k: int) -> list[str]:
+    """k consecutive taskset pin ranges of ``cores_each`` CPUs."""
+    out = []
+    for i in range(k):
+        lo = i * cores_each
+        hi = lo + cores_each - 1
+        out.append(str(lo) if hi == lo else f"{lo}-{hi}")
+    return out
+
+
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    # cores per executor: the granularity dial. 8 = full-machine legs
+    # (32 CPUs in the 4N leg — deep in the single-socket bandwidth wall);
+    # 1-2 = bandwidth-unsaturated legs (≤8 CPUs total) that measure the
+    # ENGINE's N→4N behavior rather than the box's one memory bus.
+    cores_each = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     subprocess.run([sys.executable, str(REPO / "scripts" / "make_pyfiles.py")],
                    check=True, cwd=str(REPO))
 
-    # primary: 1×8-core executor vs 4×8-core executors (full machine);
-    # control: 1×4 vs 4×4 (4 vs 16 CPUs) — both legs below the memory-
-    # bandwidth ceiling, isolates the single-socket confound. Either can be
-    # skipped (SPARK_GRAFT_SKIP_CONTROL / SPARK_GRAFT_ONLY_CONTROL).
+    # control: a second granularity (half the primary, min 1) — both legs
+    # further below the bandwidth ceiling. Either can be skipped
+    # (SPARK_GRAFT_SKIP_CONTROL / SPARK_GRAFT_ONLY_CONTROL).
     full = ctrl = None
     if not os.environ.get("SPARK_GRAFT_ONLY_CONTROL"):
-        full = measure(n, 8, ["0-7"], ["0-7", "8-15", "16-23", "24-31"])
-        print(json.dumps({"protocol": "1x8 vs 4x8 executors", **full}, indent=2))
+        full = measure(n, cores_each, _pins(cores_each, 1), _pins(cores_each, 4))
+        print(json.dumps({"protocol": f"1x{cores_each} vs 4x{cores_each} executors", **full}, indent=2))
     if not os.environ.get("SPARK_GRAFT_SKIP_CONTROL"):
-        ctrl = measure(n, 4, ["0-3"], ["0-3", "4-7", "8-11", "12-15"])
-        print(json.dumps({"protocol": "1x4 vs 4x4 executors (control)", **ctrl}, indent=2))
+        half = max(1, cores_each // 2)
+        ctrl = measure(n, half, _pins(half, 1), _pins(half, 4))
+        print(json.dumps({"protocol": f"1x{half} vs 4x{half} executors (control)", **ctrl}, indent=2))
 
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     bench_md = REPO / "BENCH" / "BASELINE.md"
+    ce = cores_each
     if full is None:
         if ctrl is not None:
+            half = max(1, ce // 2)
             clo, chi = ctrl["n_leg"], ctrl["four_n_leg"]
             with bench_md.open("a") as f:
                 f.write(f"""
-## Control-only run — {stamp} — C={n:,}: 1×4 vs 4×4 executors
+## Control-only run — {stamp} — C={n:,}: 1×{half} vs 4×{half} executors
 
 | cluster | executors | CPUs | seconds | edges-processed/s |
 |---|---|---|---|---|
-| N  | 1 × 4 cores | 4 | {clo['seconds']} | {clo['edges_per_sec']:,.0f} |
-| 4N | 4 × 4 cores | 16 | {chi['seconds']} | {chi['edges_per_sec']:,.0f} |
+| N  | 1 × {half} cores | {half} | {clo['seconds']} | {clo['edges_per_sec']:,.0f} |
+| 4N | 4 × {half} cores | {4 * half} | {chi['seconds']} | {chi['edges_per_sec']:,.0f} |
 
 **Control efficiency: {ctrl['efficiency']}**
 """)
@@ -190,36 +210,39 @@ def main() -> None:
 ## PageRank N vs 4N EXECUTOR scaling — real standalone cluster — {stamp}
 
 Multi-JVM standalone cluster (master + taskset-pinned worker daemons from
-the pip pyspark jars; the round-1 blocker was the unset
-``SPARK_SCALA_VERSION`` — executors now launch). Each executor is its own
-JVM with its own heap/GC/shuffle server/Python pool; code ships via
+the pip pyspark jars). Each executor is its own JVM with its own
+heap/GC/shuffle server/Python pool; code ships via
 ``spark.submit.pyFiles`` (the spark-submit --py-files shape). Input:
 deterministic synthetic transcripts (seed 42), {n:,} conversations →
 {lo['n_vertices']:,} vertices / {lo['n_edges']:,} edges; PageRank
-{PR_ROUNDS} supersteps after a 1-round warm-up.
+{PR_ROUNDS} supersteps after a 1-round warm-up. ``seconds`` times the
+SUPERSTEPS (the BASELINE.json metric) from the driver's per-round
+metrics; the one-time in-operator graph prep (adjacency doubling +
+repartition + pin + degree init — amortized over a whole job at scale)
+is ``setup``.
 
-| cluster | executors | CPUs | seconds | supersteps/s | edges-processed/s |
-|---|---|---|---|---|---|
-| N  | 1 × 8 cores (pinned 0-7) | 8 | {lo['seconds']} | {lo['supersteps_per_sec']} | {lo['edges_per_sec']:,.0f} |
-| 4N | 4 × 8 cores (pinned octets) | 32 | {hi['seconds']} | {hi['supersteps_per_sec']} | {hi['edges_per_sec']:,.0f} |
+| cluster | executors | CPUs | seconds | setup s | supersteps/s | edges-processed/s |
+|---|---|---|---|---|---|---|
+| N  | 1 × {ce} cores | {ce} | {lo['seconds']} | {lo.get('setup_seconds', '—')} | {lo['supersteps_per_sec']} | {lo['edges_per_sec']:,.0f} |
+| 4N | 4 × {ce} cores (pinned consecutive) | {4 * ce} | {hi['seconds']} | {hi.get('setup_seconds', '—')} | {hi['supersteps_per_sec']} | {hi['edges_per_sec']:,.0f} |
 
 **Scaling efficiency (throughput(4N) / (4 × throughput(N))): {full['efficiency']}**
 """)
         if ctrl is not None:
+            half = max(1, ce // 2)
             clo, chi = ctrl["n_leg"], ctrl["four_n_leg"]
             f.write(f"""
-Control (memory-bandwidth confound isolated — both legs far below the
-single-socket bandwidth ceiling): 1 × 4-core executor vs 4 × 4-core
-executors on CPUs 0-3 vs 0-15:
+Control at half granularity (1 × {half}-core vs 4 × {half}-core executors):
 
 | cluster | executors | CPUs | seconds | edges-processed/s |
 |---|---|---|---|---|
-| N  | 1 × 4 cores | 4 | {clo['seconds']} | {clo['edges_per_sec']:,.0f} |
-| 4N | 4 × 4 cores | 16 | {chi['seconds']} | {chi['edges_per_sec']:,.0f} |
+| N  | 1 × {half} cores | {half} | {clo['seconds']} | {clo['edges_per_sec']:,.0f} |
+| 4N | 4 × {half} cores | {4 * half} | {chi['seconds']} | {chi['edges_per_sec']:,.0f} |
 
-**Control efficiency: {ctrl['efficiency']}** — both legs on one machine
-still share the memory bus/LLC that real cluster nodes do not, so these
-are lower bounds on true N→4N node scaling.
+**Control efficiency: {ctrl['efficiency']}** — all legs on one machine
+share the memory bus/LLC that real cluster nodes do not, so low-core
+legs (bus unsaturated on both sides) are the faithful ones; full-machine
+legs are lower bounds on true N→4N node scaling.
 """)
     print("appended BENCH/BASELINE.md")
 

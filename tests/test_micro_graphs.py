@@ -219,3 +219,64 @@ def test_bfs_switch_rounds_deep_chain(spark):
     e = make_edges(spark, [(i, i + 1) for i in range(1, n)])
     got = as_dict(bfs(v, e, source=1, impl="dataframe", switch_rounds=5))
     assert got == {i: i - 1 for i in range(1, n + 1)}
+
+
+# ----------------------------------------- PageRank variants (round 3)
+def _pagerank_local_oracle(n_ids, out_adj, out_deg, d=0.85, rounds=10):
+    """NumPy oracle for the reference's PageRankLocal formulation
+    (pagerank_local.h): r0 = outdeg>0 ? 1/outdeg : 1; per round
+    r' = 1-d+d·Σ_{u→w} r[w], divided by outdeg on non-last rounds."""
+    r = {u: (1.0 / out_deg[u] if out_deg[u] > 0 else 1.0) for u in n_ids}
+    for k in range(1, rounds + 1):
+        nxt = {}
+        for u in n_ids:
+            cur = sum(r[w] for w in out_adj.get(u, []))
+            val = 1.0 - d + d * cur
+            if k < rounds and out_deg[u] > 0:
+                val /= out_deg[u]
+            nxt[u] = val
+        r = nxt
+    return r
+
+
+def test_pagerank_local_vs_numpy_oracle(spark):
+    from libgrape_lite_spark.operators import pagerank_local
+
+    ids = [1, 2, 3, 4, 5]
+    # directed, with a dangling vertex (5), a parallel edge, and a cycle
+    pairs = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (1, 2)]
+    v = make_vertices(spark, ids)
+    e = make_edges(spark, pairs)
+
+    out_adj, out_deg = {}, {u: 0 for u in ids}
+    for s, t in pairs:
+        out_adj.setdefault(s, []).append(t)
+        out_deg[s] += 1
+    want = _pagerank_local_oracle(ids, out_adj, out_deg, rounds=7)
+    got = as_dict(pagerank_local(v, e, max_rounds=7, directed=True))
+    for u in ids:
+        assert got[u] == pytest.approx(want[u], abs=1e-12)
+
+    # undirected doubling: oracle over the doubled adjacency
+    upairs = pairs + [(t, s) for s, t in pairs]
+    uadj, udeg = {}, {u: 0 for u in ids}
+    for s, t in upairs:
+        uadj.setdefault(s, []).append(t)
+        udeg[s] += 1
+    wantu = _pagerank_local_oracle(ids, uadj, udeg, rounds=7)
+    gotu = as_dict(pagerank_local(v, e, max_rounds=7))
+    for u in ids:
+        assert gotu[u] == pytest.approx(wantu[u], abs=1e-12)
+
+
+def test_pagerank_auto_matches_ldbc_formulation(spark):
+    """pagerank_auto (pagerank_auto.h) is the same fixpoint as the LDBC
+    app — identical results by construction; pinned here so a future
+    divergence of the wrapper is caught."""
+    from libgrape_lite_spark.operators import pagerank, pagerank_auto
+
+    v = make_vertices(spark, [1, 2, 3, 4])
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 1), (3, 4)])
+    a = as_dict(pagerank(v, e, max_rounds=6, directed=True))
+    b = as_dict(pagerank_auto(v, e, max_rounds=6, directed=True))
+    assert a == b

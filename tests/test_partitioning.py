@@ -77,3 +77,40 @@ def test_algorithms_invariant_to_shuffle_partitions(spark, parts):
 
 
 _EXPECTED: dict = {}
+
+
+def test_edge_balanced_bounds_power_law(spark):
+    """Rebalancer parity (rebalancer.h:28-45): edge-count quantile bounds
+    isolate a hub into its own fragment and keep every other fragment near
+    E/nf, where id-uniform ranges pile the hub PLUS its id-neighborhood
+    into one fragment."""
+    from libgrape_lite_spark.plans.kernels import (
+        edge_balanced_bounds,
+        segment_part,
+        segment_part_bounds,
+    )
+
+    hub_edges = [(0, i) for i in range(1, 2001)]          # hub: 2000 edges
+    chain_edges = [(i, i + 1) for i in range(1, 4001)]    # uniform: 4000
+    e = spark.createDataFrame(hub_edges + chain_edges, "src long, dst long")
+    nf, total = 8, 6000
+    target = total / nf
+
+    bounds = edge_balanced_bounds(e, nf)
+    bal = {
+        r["part"]: r["count"]
+        for r in e.withColumn("part", segment_part_bounds("src", bounds))
+        .groupBy("part").count().collect()
+    }
+    hub_part = 0  # src=0 is ≤ every boundary
+    others = [c for p, c in bal.items() if p != hub_part]
+    assert bal[hub_part] <= 2000 + 2 * target  # hub fragment ≈ the hub alone
+    assert max(others) <= 2.5 * target         # everything else balanced
+
+    uni = {
+        r["part"]: r["count"]
+        for r in e.withColumn("part", segment_part("src", nf, 4002))
+        .groupBy("part").count().collect()
+    }
+    # id-uniform ranges: fragment 0 = hub + 1/nf of the chain — strictly worse
+    assert uni[0] > max(bal.values())

@@ -286,3 +286,17 @@ def test_jaccard_uncapped_guard(spark):
     assert len(got) == 8 * 7 // 2  # identical docs: every pair at jaccard 1.0
     with _pytest.raises(ValueError, match="df_cap must be"):
         jaccard_pairs(docs, df_cap="nonsense")
+
+
+def test_kmeans_centroids_partitioning_invariant(spark):
+    """Centroids must be bit-identical across different input partitionings
+    (round-3: per-cell means are computed in sorted-id order, so the
+    reduction order no longer follows the shuffle layout)."""
+    import numpy as np
+
+    from libgrape_lite_spark.operators.knn import kmeans_fit
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    c3 = kmeans_fit(emb.repartition(3), n_centroids=8, iters=2)
+    c11 = kmeans_fit(emb.repartition(11), n_centroids=8, iters=2)
+    assert np.array_equal(c3, c11)

@@ -104,7 +104,9 @@ def test_stream_sampler_multibatch_with_compaction(spark, tmp_path):
     assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
     # compaction really happened: a parquet edge_state dir exists with the
     # full edge count
-    gens = [p for p in ckpt.iterdir() if p.name.startswith("edge_state_")]
+    gens = [
+        p for p in ckpt.iterdir() if p.name.startswith("edge_state_") and p.is_dir()
+    ]
     assert gens, "no compaction directory written"
     compacted = max(
         spark.read.parquet(str(p)).count() for p in gens
@@ -220,3 +222,49 @@ def test_stream_sampler_restart_recovers_compaction(spark, tmp_path):
     # a post-restart compaction ping-pongs AWAY from the recovered dir
     gen_after = int((ckpt / "edge_state_CURRENT").read_text())
     assert gen_after == (gen_before ^ 1)
+
+
+def test_stream_sampler_interleaved_query_messages(spark, tmp_path):
+    """Reference Kafka-feed parity (kafka_consumer.h:104): one stream
+    interleaves `e src dst w` and `q v` messages; a query is answered once,
+    against the graph as of its own batch — a late query sees edges an
+    early identical query could not."""
+    from libgrape_lite_spark.streaming import stream_khop_sampler
+
+    src_dir = tmp_path / "messages"
+    src_dir.mkdir()
+    schema = "kind string, src long, dst long, weight double"
+    batches = [
+        [("e", 0, 1, 1.0), ("q", 0, None, None)],   # early q 0: graph = {0→1}
+        [("e", 1, 2, 1.0)],                          # edges only, no answers
+        [("q", 0, None, None)],                      # late q 0: sees 0→1→2
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(str(src_dir / f"b{i}"))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src_dir / "*"))
+    )
+    sink = str(tmp_path / "paths")
+    q = stream_khop_sampler(
+        spark, stream, queries=None,
+        sink_path=sink, checkpoint_path=str(tmp_path / "sck"),
+        hops=2, fanout=2,
+    )
+    q.awaitTermination(180)
+    out = spark.read.parquet(sink)
+    per_batch = {
+        b: sorted(
+            (r["root"], r["hop"], r["src"], r["dst"])
+            for r in out.where(F.col("batch_id") == b).collect()
+        )
+        for b in [r["batch_id"] for r in out.select("batch_id").distinct().collect()]
+    }
+    # file-source batch ids are 0,1,2 in file order (maxFilesPerTrigger=1)
+    assert per_batch.get(0) == [(0, 1, 0, 1)]            # early: one hop known
+    assert 1 not in per_batch or per_batch[1] == []      # no query, no rows
+    assert per_batch.get(2) == [(0, 1, 0, 1), (0, 2, 1, 2)]  # late: full chain
