@@ -146,14 +146,16 @@ def _sssp_auto(
     spark = vertices.sparkSession
     with static_plans(spark):
         nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        # edge-count-balanced fragment ranges (Rebalancer parity) — skewed
+        # graphs keep ≈E/nf edges per fragment; results are partitioning-
+        # invariant. Quantiles over the RAW src column (one narrow scan,
+        # not the doubled table).
+        bounds = edge_balanced_bounds(edges.select("src", "dst"), nf, key="src")
         adj = (
             edges.select("src", "dst", "weight")
             if directed
             else undirected(edges.select("src", "dst", "weight"))
         )
-        # edge-count-balanced fragment ranges (Rebalancer parity) — skewed
-        # graphs keep ≈E/nf edges per fragment; results partitioning-invariant
-        bounds = edge_balanced_bounds(adj, nf, key="src")
         adj = (
             adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
             .withColumn("part", segment_part_bounds("src", bounds))

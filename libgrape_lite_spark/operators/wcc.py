@@ -225,10 +225,12 @@ def _wcc_kernel_auto(
         nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
         # fragment boundaries from EDGE-COUNT quantiles (Rebalancer parity,
         # rebalancer.h:28-45): a skewed graph still yields ≈E/nf edges per
-        # contiguous range; results are partitioning-invariant
-        bounds = edge_balanced_bounds(
-            undirected(edges.select("src", "dst")), nf, key="src"
-        )
+        # contiguous range; results are partitioning-invariant. Quantiles
+        # are taken over the RAW (pre-doubling) src column — one narrow
+        # column scan instead of materializing the doubled table twice;
+        # the boundary approximation only shifts fragment balance, never
+        # correctness.
+        bounds = edge_balanced_bounds(edges.select("src", "dst"), nf, key="src")
         adj = (
             undirected(edges.select("src", "dst"))
             .where(F.col("src") != F.col("dst"))
