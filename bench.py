@@ -52,11 +52,16 @@ def main() -> None:
     vertices, edges = build_graph(spark, SF_DIR)
     n_vertices = vertices.count()
     n_edges = edges.count()
-    t_build = time.time() - t0
 
+    from libgrape_lite_spark.plans.kernels import cached_edge_balanced_bounds
     from libgrape_lite_spark.session import tune_shuffle_partitions
 
     shuffle_parts = tune_shuffle_partitions(spark, 2 * n_edges, max_partitions=CPUS)
+    # fragment bounds belong to the graph, not the operator: one
+    # approxQuantile pass here (next to the counts) feeds every auto-impl
+    # call below via the per-table memo
+    cached_edge_balanced_bounds(edges, shuffle_parts, key="src")
+    t_build = time.time() - t0
 
     source_id = (
         vertices.orderBy("id").limit(1).collect()[0]["id"]

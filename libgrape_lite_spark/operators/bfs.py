@@ -90,19 +90,33 @@ def bfs(
         rounds: int | None = None,
     ) -> DataFrame:
         from libgrape_lite_spark.operators.sssp import _sssp_auto
+        from libgrape_lite_spark.plans.kernels import cached_edge_balanced_bounds
 
+        # fragment bounds memoized on the ORIGINAL edge table — the derived
+        # unit-weight table below is a fresh object the cache can't see, so
+        # compute here and pass through (one approxQuantile per graph, not
+        # per BFS call; same bounds wcc/sssp autos share)
+        nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
+        bounds = cached_edge_balanced_bounds(edges, nf, key="src")
         unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
         d = _sssp_auto(
             vertices, unit, source, directed, kdrv or drv,
             max_rounds if rounds is None else rounds, num_fragments,
-            init_state=init_state,
+            init_state=init_state, bounds=bounds,
         )
-        return d.select(
-            "id",
+        depth = (
             F.when(F.col("dist") == float("inf"), F.lit(INT64_MAX))
             .otherwise(F.col("dist").cast("long"))
-            .alias("depth"),
         )
+        if max_rounds is not None:
+            # max_rounds is a DEPTH bound, exactly like the push impl's
+            # level budget: one PIE superstep settles many levels at once,
+            # so depths beyond the budget are clamped back to "unreached".
+            # Every superstep dominates one level-synchronous round, so all
+            # depths ≤ max_rounds are final — the clamp reproduces the push
+            # impl's output bit for bit.
+            depth = F.when(depth > max_rounds, F.lit(INT64_MAX)).otherwise(depth)
+        return d.select("id", depth.alias("depth"))
 
     if impl == "auto":
         return _finish_auto(None)

@@ -128,17 +128,22 @@ def _sssp_auto(
     max_rounds: int | None,
     num_fragments: int | None,
     init_state: DataFrame | None = None,
+    bounds: list[int] | None = None,
 ) -> DataFrame:
     """PIE-model SSSP: per-fragment local Bellman-Ford to fixpoint, then
     one min-combine shuffle of improved distances per superstep.
 
     ``init_state(id, dist, improved)`` — optional warm start: resume the
     fixpoint from already-settled distances instead of the bare source
-    (used by BFS's dense-round switch; missing ids are +inf)."""
+    (used by BFS's dense-round switch; missing ids are +inf).
+
+    ``bounds`` — pre-computed fragment boundaries (BFS passes the ones
+    memoized on its original edge table, since the unit-weight table it
+    derives is a fresh object the per-table cache can't see)."""
     import time as _time
 
     from libgrape_lite_spark.plans.kernels import (
-        edge_balanced_bounds,
+        cached_edge_balanced_bounds,
         local_relax_fixpoint,
         segment_part_bounds,
     )
@@ -149,8 +154,10 @@ def _sssp_auto(
         # edge-count-balanced fragment ranges (Rebalancer parity) — skewed
         # graphs keep ≈E/nf edges per fragment; results are partitioning-
         # invariant. Quantiles over the RAW src column (one narrow scan,
-        # not the doubled table).
-        bounds = edge_balanced_bounds(edges.select("src", "dst"), nf, key="src")
+        # not the doubled table), memoized per edge table so several
+        # operators on one graph share a single pass.
+        if bounds is None:
+            bounds = cached_edge_balanced_bounds(edges, nf, key="src")
         adj = (
             edges.select("src", "dst", "weight")
             if directed

@@ -214,7 +214,7 @@ def _wcc_kernel_auto(
     import time as _time
 
     from libgrape_lite_spark.plans.kernels import (
-        edge_balanced_bounds,
+        cached_edge_balanced_bounds,
         local_min_fixpoint,
         segment_part_bounds,
     )
@@ -227,10 +227,11 @@ def _wcc_kernel_auto(
         # rebalancer.h:28-45): a skewed graph still yields ≈E/nf edges per
         # contiguous range; results are partitioning-invariant. Quantiles
         # are taken over the RAW (pre-doubling) src column — one narrow
-        # column scan instead of materializing the doubled table twice;
-        # the boundary approximation only shifts fragment balance, never
-        # correctness.
-        bounds = edge_balanced_bounds(edges.select("src", "dst"), nf, key="src")
+        # column scan instead of materializing the doubled table twice —
+        # and MEMOIZED per edge table, so the scan happens once per graph,
+        # not once per operator call; the boundary approximation only
+        # shifts fragment balance, never correctness.
+        bounds = cached_edge_balanced_bounds(edges, nf, key="src")
         adj = (
             undirected(edges.select("src", "dst"))
             .where(F.col("src") != F.col("dst"))

@@ -356,6 +356,34 @@ def edge_balanced_bounds(
     return out
 
 
+_BOUNDS_CACHE_ATTR = "_lgls_fragment_bounds"
+
+
+def cached_edge_balanced_bounds(
+    edges: DataFrame, num_fragments: int, key: str = "src",
+    relative_error: float = 0.001,
+) -> list[int]:
+    """:func:`edge_balanced_bounds`, computed at most once per edge table.
+
+    The bounds only depend on the edge table's ``key`` distribution, so the
+    result is memoized on the DataFrame object itself (keyed by
+    ``(num_fragments, key, relative_error)``); every operator that runs on
+    the same graph — wcc/sssp/bfs auto impls in one session — reuses the
+    one approxQuantile pass instead of re-scanning O(E) per call (the
+    round-3 on-record regression: one redundant full pass per operator at
+    100 TB). Call this at graph-build time (next to the degree table) to
+    move the cost into the build step entirely.
+    """
+    cache = getattr(edges, _BOUNDS_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(edges, _BOUNDS_CACHE_ATTR, cache)
+    ck = (num_fragments, key, relative_error)
+    if ck not in cache:
+        cache[ck] = edge_balanced_bounds(edges, num_fragments, key, relative_error)
+    return cache[ck]
+
+
 def segment_part_bounds(col: str, bounds: list[int]):
     """Partition expression for :func:`edge_balanced_bounds` boundaries:
     ``part = Σ (col > bound)`` — a flat integer comparison chain (exact
