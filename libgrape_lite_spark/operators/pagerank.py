@@ -55,7 +55,9 @@ def pagerank(
     driver: IterationDriver | None = None,
     impl: str = "dataframe",
     num_fragments: int | None = None,
-    hub_salts: int = 0,
+    hub_salts: int | str = "auto",
+    hub_degree_factor: float = 8.0,
+    min_hub_degree: int = 1_000_000,
 ) -> DataFrame:
     """Returns DataFrame(id: long, rank: double).
 
@@ -69,15 +71,29 @@ def pagerank(
         the reference (SURVEY.md §4.5), best when state exceeds the
         broadcast threshold.
 
-    ``hub_salts > 0`` — two-level salted gather (SURVEY.md §4.4, the skew
+    ``hub_salts`` — two-level salted gather (SURVEY.md §4.4, the skew
     fix the reference's Rebalancer approximates): contributions are first
     summed per (dst, salt) where salt spreads each destination's incoming
     mass over ``hub_salts`` reducers, then per dst. Protects the combine
     against hub vertices whose in-degree exceeds one reducer's capacity;
     identical results (sum is associative), one extra vertex-sized shuffle.
+
+    ``hub_salts="auto"`` (default) decides from the degree table the
+    operator builds anyway (zero extra passes): salting engages — with
+    ``shuffle.partitions`` salts — when the max degree exceeds BOTH
+    ``hub_degree_factor``× the mean per-partition edge share (relative
+    skew: one vertex out-weighs whole fragments) and ``min_hub_degree``
+    (absolute floor: below ~10^6 messages per hub, map-side partial
+    aggregation alone absorbs the skew and the extra shuffle would only
+    cost). Detection reads the out-degree column, which on the doubled
+    undirected table IS the in-degree the gather aggregates over; directed
+    callers with known in-degree hubs should pass an explicit int. The
+    verdict is observable at ``driver.info["pagerank_hub_salts"]``.
     """
     if impl not in ("dataframe", "kernel"):
         raise ValueError(f"impl must be dataframe|kernel, got {impl!r}")
+    if not (hub_salts == "auto" or isinstance(hub_salts, int)):
+        raise ValueError(f"hub_salts must be an int or 'auto', got {hub_salts!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
@@ -118,7 +134,24 @@ def pagerank(
             state, step = resumed
         else:
             state = drv.materialize(state, step)
-        n_dangling = state.where(F.col("degree") == 0).count()
+        # one aggregate pass yields the dangling count AND the degree stats
+        # the auto hub-salt decision needs (replaces the former
+        # dangling-only count — no extra job for detection)
+        stats = state.agg(
+            F.count(F.when(F.col("degree") == 0, True)).alias("nd"),
+            F.max("degree").alias("md"),
+            F.sum("degree").alias("sd"),
+        ).collect()[0]
+        n_dangling = stats["nd"]
+        if hub_salts == "auto":
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            md, sd = stats["md"] or 0, stats["sd"] or 0
+            engaged = (
+                md > hub_degree_factor * sd / max(parts, 1)
+                and md >= min_hub_degree
+            )
+            hub_salts = parts if engaged else 0
+        drv.info["pagerank_hub_salts"] = hub_salts
         dangling_sum = p * n_dangling
         # replay the driver-side scalar recurrence up to the resumed superstep
         for _ in range(step):
@@ -289,3 +322,24 @@ def pagerank_auto(
         vertices, edges, damping=damping, max_rounds=max_rounds,
         directed=directed, **kwargs,
     )
+
+
+def pagerank_parallel(vertices: DataFrame, edges: DataFrame, **kwargs) -> DataFrame:
+    """PageRankParallel parity (pagerank_parallel.h:63-204): same fixpoint
+    as the LDBC app — same init, round recurrence (base/dangling scalars,
+    pull over incoming adjacency, divide by out-degree) and multiply-back —
+    differing only in intra-fragment threading (``ForEach`` over vertex
+    chunks) and message batching, both of which Spark's task parallelism
+    and shuffle subsume. Delegates to :func:`pagerank`; exists so every
+    reference app name resolves."""
+    return pagerank(vertices, edges, **kwargs)
+
+
+def pagerank_local_parallel(
+    vertices: DataFrame, edges: DataFrame, **kwargs
+) -> DataFrame:
+    """PageRankLocalParallel parity (pagerank_local_parallel.h:57-214):
+    the GeminiGraph ``1-d+d·Σ`` formulation of :func:`pagerank_local` with
+    the reference's thread-parallel messaging machinery, which Spark
+    subsumes. Delegates to :func:`pagerank_local`; exists for API parity."""
+    return pagerank_local(vertices, edges, **kwargs)

@@ -44,6 +44,7 @@ def wcc(
     impl: str = "auto",
     num_fragments: int | None = None,
     jump: bool = True,
+    pull_fraction: float = 0.1,
 ) -> DataFrame:
     """Returns DataFrame(id: long, comp: long).
 
@@ -61,6 +62,15 @@ def wcc(
         adds a pointer-jump self-join (``comp' = comp[comp]``, the
         shortcutting half of Kiveris et al.'s two-phase rounds), so
         convergence needs O(log diameter) instead of O(diameter) rounds.
+        Rounds are push↔pull adaptive like the reference (wcc.h:198-209
+        switches per round on the active fraction): while more than
+        ``pull_fraction``·|V| vertices changed last round, the next round
+        gathers from ALL vertices (the pull — no frontier filter, one full
+        edges⋈state pass); once the frontier is sparse it switches to
+        push-from-changed. Identical per-round results either way
+        (min-propagation is monotone and earlier sends are permanent);
+        the switch only trades frontier-filter overhead against full-pass
+        cost, exactly the reference's trade.
       * ``"kernel"`` — per-fragment Arrow gather-scatter (reduce_fn="min",
         long-typed end-to-end; exact past 2^53 vertex ids).
     """
@@ -99,14 +109,20 @@ def wcc(
                 step,
             )
 
+        n_vertices = vertices.count()
+        dense = True  # round 1: every label was just initialized → all active
+
         while max_rounds is None or step < max_rounds:
             t0 = time.time()
             step += 1
-            # Frontier push: only vertices whose comp changed last round send
-            # (the reference's `curr_modified` set, wcc.h:95-125) — monotone
-            # min-propagation makes earlier sends permanent, so the join
-            # shrinks with the frontier instead of staying O(E) every round.
-            senders = state.where("changed").select(F.col("id").alias("src"), "comp")
+            # Adaptive push↔pull (wcc.h:198-209): dense rounds gather from
+            # ALL vertices (pull — no frontier filter); sparse rounds push
+            # only from vertices whose comp changed last round (the
+            # reference's `curr_modified` set, wcc.h:95-125) — monotone
+            # min-propagation makes earlier sends permanent, so the sparse
+            # join shrinks with the frontier instead of staying O(E).
+            frontier = state if dense else state.where("changed")
+            senders = frontier.select(F.col("id").alias("src"), "comp")
             nbr_min = (
                 adj.join(senders, "src")
                 .groupBy(F.col("dst").alias("id"))
@@ -136,7 +152,8 @@ def wcc(
                 )
             state = drv.materialize(new_state, step)
             active = state.where("changed").count()
-            drv.log(step, active, time.time() - t0, op="wcc")
+            dense = active > pull_fraction * n_vertices
+            drv.log(step, active, time.time() - t0, op="wcc", dense=dense)
             if active == 0:
                 break
 

@@ -86,6 +86,10 @@ class IterationDriver:
         self.verbose = verbose
         self.storage_level = storage_level
         self.metrics: list[SuperstepMetric] = []
+        # one-time setup decisions operators record for observability
+        # (e.g. pagerank's auto hub-salt verdict) — kept out of `metrics`
+        # so per-superstep counts stay exact
+        self.info: dict = {}
         self._persisted: list[DataFrame] = []
 
     # -- state materialization -------------------------------------------
