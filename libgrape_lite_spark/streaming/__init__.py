@@ -1,3 +1,7 @@
-from libgrape_lite_spark.streaming.sampler import khop_sample, stream_khop_sampler
+from libgrape_lite_spark.streaming.sampler import (
+    khop_sample,
+    make_batch_processor,
+    stream_khop_sampler,
+)
 
-__all__ = ["khop_sample", "stream_khop_sampler"]
+__all__ = ["khop_sample", "make_batch_processor", "stream_khop_sampler"]

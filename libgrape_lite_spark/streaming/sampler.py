@@ -67,6 +67,169 @@ def khop_sample(
     return out
 
 
+def _committed_edge_batches(checkpoint_path: str) -> list[tuple[int, str]]:
+    """Sorted (batch_id, path) of committed per-batch WAL dirs."""
+    import os
+
+    root = os.path.join(checkpoint_path, "edge_batches")
+    out: list[tuple[int, str]] = []
+    if not os.path.isdir(root):
+        return out
+    for name in os.listdir(root):
+        d = os.path.join(root, name)
+        if (
+            name.startswith("batch=")
+            and os.path.isdir(d)
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        ):
+            out.append((int(name.split("=", 1)[1]), d))
+    return sorted(out)
+
+
+def make_batch_processor(
+    spark,
+    queries: DataFrame | None,
+    sink_path: str,
+    checkpoint_path: str,
+    hops: int = 2,
+    fanout: int = 3,
+    initial_edges: DataFrame | None = None,
+    compact_every: int = 8,
+):
+    """Build the foreachBatch callable (exposed so tests can drive it
+    directly — e.g. re-invoke a batch_id to prove idempotence).
+
+    Durability protocol (exactly-once over an at-least-once replay):
+
+    * every micro-batch's raw edges land FIRST in a per-batch WAL dir
+      ``<ckpt>/edge_batches/batch=<id>`` with overwrite — a replayed batch
+      rewrites the same dir, never duplicates;
+    * every ``compact_every`` batches the accumulated table is compacted
+      into the ``edge_state_<gen>`` ping-pong pair, the
+      ``edge_state_CURRENT`` marker commits ``gen:through_batch``
+      atomically-enough (single small file — the seam where an Iceberg
+      catalog commit would go), and WAL dirs ≤ through_batch are deleted;
+    * recovery (``initial_edges=None``) = last committed compaction ∪ all
+      committed WAL dirs past its ``through_batch`` — NO committed batch
+      is ever lost, even when the crash lands mid-compaction-window (the
+      round-3 recovery only replayed the compaction, silently dropping up
+      to compact_every-1 committed batches);
+    * query results are written to ``<sink>/batch_id=<id>`` with overwrite
+      (partition discovery restores the ``batch_id`` column) — a replayed
+      batch overwrites its own output instead of appending duplicates.
+    """
+    import os
+    import shutil
+
+    # ``seen`` = highest batch_id whose edges are already folded into the
+    # state (via compaction or WAL recovery) — a replayed batch at or below
+    # it must NOT re-ingest: its WAL dir is part of the state's own plan,
+    # and overwriting a path you are reading is exactly the hazard the
+    # compaction ping-pong exists for
+    state = {
+        "edges": initial_edges, "since_compact": 0, "gen": 0,
+        "through": -1, "seen": -1,
+    }
+    marker = os.path.join(checkpoint_path, "edge_state_CURRENT")
+    if initial_edges is None:
+        try:
+            with open(marker) as fh:
+                g, through = (int(x) for x in fh.read().strip().split(":"))
+            d = os.path.join(checkpoint_path, f"edge_state_{g}")
+            if os.path.exists(os.path.join(d, "_SUCCESS")):
+                state["edges"] = spark.read.parquet(d)
+                state["gen"] = g
+                state["through"] = through
+        except (FileNotFoundError, ValueError, OSError):
+            pass
+        # replay the committed WAL past the compaction point — batches the
+        # stream checkpoint considers done but no compaction covers yet
+        pending = [
+            (b, d) for b, d in _committed_edge_batches(checkpoint_path)
+            if b > state["through"]
+        ]
+        for _, d in pending:
+            part = spark.read.parquet(d)
+            state["edges"] = (
+                part if state["edges"] is None
+                else state["edges"].unionByName(part)
+            )
+        state["since_compact"] = len(pending)
+        state["seen"] = max([state["through"]] + [b for b, _ in pending])
+
+    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if "kind" in batch_df.columns:
+            new_edges = batch_df.where(F.col("kind") == "e").select(
+                "src", "dst", "weight"
+            )
+            batch_queries = batch_df.where(F.col("kind") == "q").select(
+                F.col("src").alias("root")
+            )
+        else:
+            new_edges = batch_df.select("src", "dst", "weight")
+            batch_queries = None
+        if batch_id <= state["seen"]:
+            # replay of a batch already folded in during recovery: the WAL
+            # dir backs the current state's plan, so neither rewrite nor
+            # re-union — just re-answer (and re-overwrite the sink below)
+            acc = state["edges"]
+            roots = queries
+            if batch_queries is not None:
+                roots = (
+                    batch_queries if roots is None
+                    else roots.unionByName(batch_queries)
+                )
+            if roots is None:
+                return
+            khop_sample(acc, roots, hops=hops, fanout=fanout).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(sink_path, f"batch_id={batch_id}"))
+            return
+        # WAL first: the batch's edges are durable before any state or
+        # output depends on them; overwrite makes replays idempotent
+        wal_dir = os.path.join(checkpoint_path, "edge_batches", f"batch={batch_id}")
+        new_edges.write.mode("overwrite").parquet(wal_dir)
+        new_edges = spark.read.parquet(wal_dir)  # plan = one stable scan
+        acc = state["edges"]
+        acc = new_edges if acc is None else acc.unionByName(new_edges)
+        state["seen"] = batch_id
+        state["since_compact"] += 1
+        if state["since_compact"] >= compact_every:
+            # durable compaction: one parquet table replaces the union
+            # tower. Ping-pong between two dirs — the current state's plan
+            # may still read the previous compaction, and Spark (rightly)
+            # refuses to overwrite a path it is reading from.
+            state["gen"] ^= 1
+            compact_dir = f"{checkpoint_path}/edge_state_{state['gen']}"
+            acc.write.mode("overwrite").parquet(compact_dir)
+            acc = spark.read.parquet(compact_dir)
+            with open(marker, "w") as fh:  # commit point for restart recovery
+                fh.write(f"{state['gen']}:{batch_id}")
+            state["through"] = batch_id
+            state["since_compact"] = 0
+            for b, d in _committed_edge_batches(checkpoint_path):
+                if b <= batch_id:  # superseded by the compaction
+                    shutil.rmtree(d, ignore_errors=True)
+        state["edges"] = acc
+        roots = queries
+        if batch_queries is not None:
+            roots = (
+                batch_queries
+                if roots is None
+                else roots.unionByName(batch_queries)
+            )
+        if roots is None:
+            return
+        result = khop_sample(acc, roots, hops=hops, fanout=fanout)
+        # per-batch overwrite = exactly-once output under foreachBatch's
+        # at-least-once replay; readers see batch_id via partition discovery
+        result.write.mode("overwrite").parquet(
+            os.path.join(sink_path, f"batch_id={batch_id}")
+        )
+
+    return process_batch
+
+
 def stream_khop_sampler(
     spark,
     edge_stream: DataFrame,
@@ -94,83 +257,17 @@ def stream_khop_sampler(
       (edges in the same batch apply first — batch-granularity ordering).
 
     State is the accumulated edge table (append-only fragment analog,
-    gnn_sampler AppendOnlyEdgecutFragment); results append to
-    ``sink_path`` as parquet (Kafka producer analog).
-
-    State growth is bounded two ways: every batch localCheckpoints the
-    union (cuts lineage), and every ``compact_every`` batches the edge
-    state is compacted to parquet under ``checkpoint_path`` and re-read —
-    so executor-memory block usage stays one table's worth instead of an
-    ever-growing union of per-batch blocks, and a restarted job recovers
-    the graph from the last compaction instead of replaying the stream:
-    on start with ``initial_edges=None`` the newest committed
-    ``edge_state_<gen>`` dir (tracked by the ``edge_state_CURRENT``
-    marker, written after each compaction commit) is loaded and the
-    ping-pong generation resumes from it — the restarted run never
-    overwrites the compaction it just recovered from. (The marker is a
-    plain file next to the parquet — the seam where an Iceberg catalog
-    commit would go in production.)
+    gnn_sampler AppendOnlyEdgecutFragment); results land under
+    ``sink_path/batch_id=<id>`` as parquet (Kafka producer analog, but
+    exactly-once). Durability, restart recovery, and replay idempotence
+    are handled by :func:`make_batch_processor` — see its docstring for
+    the WAL + compaction + marker protocol.
     """
-    import os
-
-    state = {"edges": initial_edges, "since_compact": 0, "gen": 0}
-    marker = os.path.join(checkpoint_path, "edge_state_CURRENT")
-    if initial_edges is None:
-        try:
-            with open(marker) as fh:
-                g = int(fh.read().strip())
-            d = os.path.join(checkpoint_path, f"edge_state_{g}")
-            if os.path.exists(os.path.join(d, "_SUCCESS")):
-                state["edges"] = spark.read.parquet(d)
-                state["gen"] = g
-        except (FileNotFoundError, ValueError, OSError):
-            pass
-
-    def process_batch(batch_df: DataFrame, batch_id: int) -> None:
-        if "kind" in batch_df.columns:
-            new_edges = batch_df.where(F.col("kind") == "e").select(
-                "src", "dst", "weight"
-            )
-            batch_queries = batch_df.where(F.col("kind") == "q").select(
-                F.col("src").alias("root")
-            )
-        else:
-            new_edges = batch_df.select("src", "dst", "weight")
-            batch_queries = None
-        acc = state["edges"]
-        acc = new_edges if acc is None else acc.unionByName(new_edges)
-        state["since_compact"] += 1
-        if state["since_compact"] >= compact_every:
-            # durable compaction: one parquet table replaces the union
-            # tower. Ping-pong between two dirs — the current state's plan
-            # may still read the previous compaction, and Spark (rightly)
-            # refuses to overwrite a path it is reading from.
-            state["gen"] ^= 1
-            compact_dir = f"{checkpoint_path}/edge_state_{state['gen']}"
-            acc.write.mode("overwrite").parquet(compact_dir)
-            acc = spark.read.parquet(compact_dir)
-            with open(marker, "w") as fh:  # commit point for restart recovery
-                fh.write(str(state["gen"]))
-            state["since_compact"] = 0
-        else:
-            acc = acc.localCheckpoint(eager=True)  # bound lineage across batches
-        state["edges"] = acc
-        roots = queries
-        if batch_queries is not None:
-            roots = (
-                batch_queries
-                if roots is None
-                else roots.unionByName(batch_queries)
-            )
-        if roots is None:
-            return
-        result = khop_sample(acc, roots, hops=hops, fanout=fanout)
-        (
-            result.withColumn("batch_id", F.lit(batch_id))
-            .write.mode("append")
-            .parquet(sink_path)
-        )
-
+    process_batch = make_batch_processor(
+        spark, queries, sink_path, checkpoint_path,
+        hops=hops, fanout=fanout, initial_edges=initial_edges,
+        compact_every=compact_every,
+    )
     # availableNow drains bounded sources (files) then stops — the test
     # default; continuous sources (rate, Kafka) want a processing-time
     # trigger instead: pass e.g. trigger={"processingTime": "2 seconds"}

@@ -194,7 +194,7 @@ def test_stream_sampler_restart_recovers_compaction(spark, tmp_path):
     )
     q.awaitTermination(180)
     assert (ckpt / "edge_state_CURRENT").exists()
-    gen_before = int((ckpt / "edge_state_CURRENT").read_text())
+    gen_before = int((ckpt / "edge_state_CURRENT").read_text().split(":")[0])
 
     # two more edges arrive while the job is "down"
     for i in (4, 5):
@@ -220,7 +220,7 @@ def test_stream_sampler_restart_recovers_compaction(spark, tmp_path):
     # produce them in post-restart answers
     assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
     # a post-restart compaction ping-pongs AWAY from the recovered dir
-    gen_after = int((ckpt / "edge_state_CURRENT").read_text())
+    gen_after = int((ckpt / "edge_state_CURRENT").read_text().split(":")[0])
     assert gen_after == (gen_before ^ 1)
 
 
@@ -268,3 +268,98 @@ def test_stream_sampler_interleaved_query_messages(spark, tmp_path):
     assert per_batch.get(0) == [(0, 1, 0, 1)]            # early: one hop known
     assert 1 not in per_batch or per_batch[1] == []      # no query, no rows
     assert per_batch.get(2) == [(0, 1, 0, 1), (0, 2, 1, 2)]  # late: full chain
+
+
+def test_restart_recovers_uncompacted_committed_batches(spark, tmp_path):
+    """The round-3 loss window (ADVICE r3): batches the stream checkpoint
+    marked committed but no compaction covered were dropped on restart.
+    Now every batch lands in a per-batch WAL dir first, and recovery =
+    compaction ∪ WAL-past-compaction, so a crash mid-compaction-window
+    loses nothing. Driven through the processor directly (the exact
+    callable foreachBatch invokes) to place the crash deterministically."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = str(tmp_path / "ck")
+    queries = spark.createDataFrame([(0,)], "root long")
+
+    def edge(i):
+        return spark.createDataFrame(
+            [(i, i + 1, 1.0)], "src long, dst long, weight double"
+        )
+
+    # run 1: 3 batches, compact_every=10 → NO compaction ever happens
+    p1 = make_batch_processor(
+        spark, queries, sink, ckpt, hops=3, fanout=2, compact_every=10
+    )
+    for i in range(3):
+        p1(edge(i), i)
+
+    # crash; run 2 must rebuild 0→1→2→3 purely from the WAL
+    p2 = make_batch_processor(
+        spark, queries, sink, ckpt, hops=3, fanout=2, compact_every=10
+    )
+    p2(edge(3), 3)
+    last = spark.read.parquet(sink).where(F.col("batch_id") == 3)
+    got = sorted((r["root"], r["hop"], r["src"], r["dst"]) for r in last.collect())
+    assert got == [(0, 1, 0, 1), (0, 2, 1, 2), (0, 3, 2, 3)]
+
+
+def test_replayed_batch_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: after a crash the last uncommitted
+    batch re-runs. Both the WAL dir and the per-batch sink dir are
+    overwrite-mode, so a replay must not duplicate edges OR result rows
+    (VERDICT r3 #4)."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = str(tmp_path / "ck")
+    queries = spark.createDataFrame([(0,)], "root long")
+    batch = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0)], "src long, dst long, weight double"
+    )
+
+    p = make_batch_processor(
+        spark, queries, sink, ckpt, hops=2, fanout=2, compact_every=10
+    )
+    p(batch, 0)
+    # crash before the stream checkpoint committed batch 0 → replay, on a
+    # fresh processor the way a restarted driver would run it
+    p2 = make_batch_processor(
+        spark, queries, sink, ckpt, hops=2, fanout=2, compact_every=10
+    )
+    p2(batch, 0)
+
+    out = spark.read.parquet(sink).collect()
+    assert sorted((r["root"], r["hop"], r["src"], r["dst"], r["batch_id"]) for r in out) == [
+        (0, 1, 0, 1, 0),
+        (0, 2, 1, 2, 0),
+    ]
+    # the WAL holds the batch's edges exactly once too
+    wal = spark.read.parquet(str(tmp_path / "ck" / "edge_batches")).collect()
+    assert sorted((r["src"], r["dst"]) for r in wal) == [(0, 1), (1, 2)]
+
+
+def test_wal_dirs_pruned_after_compaction(spark, tmp_path):
+    """Compaction supersedes the WAL: dirs at or below through_batch are
+    deleted, so recovery cost stays ≤ compact_every reads regardless of
+    stream lifetime."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = tmp_path / "ck"
+    p = make_batch_processor(
+        spark, None, sink, str(ckpt), hops=2, fanout=2, compact_every=2
+    )
+    for i in range(3):
+        p(
+            spark.createDataFrame(
+                [(i, i + 1, 1.0)], "src long, dst long, weight double"
+            ),
+            i,
+        )
+    # batches 0,1 were compacted (marker gen:1) and their WAL dirs pruned;
+    # batch 2 is still pending in the WAL
+    assert (ckpt / "edge_state_CURRENT").read_text().split(":")[1] == "1"
+    names = sorted(d.name for d in (ckpt / "edge_batches").iterdir())
+    assert names == ["batch=2"]
