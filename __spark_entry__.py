@@ -761,9 +761,12 @@ def _sql_knn_ivf(
     """knn_ivf mirrored END-TO-END in SQL — including the deterministic
     spherical k-means fit (operators/knn.py:kmeans_fit): seeds = the
     ``n_centroids`` vectors with smallest md5(id) in id order, then
-    ``iters`` Lloyd rounds of (argmax-cosine assign → per-cell mean
-    ROUNDed to 9 digits — same rounding the Spark side applies, so both
-    engines land on bit-identical centroids each iteration). IVF search:
+    ``iters`` Lloyd rounds of (argmax-cosine assign → per-cell mean as
+    SUM(x ORDER BY vec_id)/COUNT(*) ROUNDed to 9 digits — DuckDB's
+    ordered SUM is a sequential left-fold, the exact fold the Spark
+    kernel's np.add.accumulate performs over the same id order, so both
+    engines feed ROUND bit-identical doubles and land on bit-identical
+    centroids each iteration). IVF search:
     corpus inverted-listed under final cells, queries probe their
     ``n_probe`` best cells (sim DESC, cell ASC — the Spark kernel's
     stable argsort), exact cosine scoring, knn tie-break."""
@@ -787,7 +790,8 @@ a{i} AS (
     FROM en, {p}n cn) WHERE rn = 1),
 m{i} AS (
   SELECT cell, list(mv ORDER BY j) AS c FROM (
-    SELECT a{i}.cell AS cell, r.j AS j, ROUND(AVG(en.v[r.j]), 9) AS mv
+    SELECT a{i}.cell AS cell, r.j AS j,
+           ROUND(SUM(en.v[r.j] ORDER BY en.vec_id) / COUNT(*), 9) AS mv
     FROM a{i} JOIN en USING (vec_id), range(1, {dim + 1}) AS r(j)
     GROUP BY 1, 2) GROUP BY cell),
 c{i} AS (

@@ -70,8 +70,22 @@ def extract_features(df: DataFrame, tiled_bytes_cap: int = 8 << 20) -> DataFrame
     each Arrow batch is processed in sub-batches tiling at most this many
     bytes (~220 MB transient at the default), bounding executor memory
     regardless of Arrow batch size or payload fatness (an uncapped 10k-row
-    batch of 1 MB images would otherwise need ~0.8 TB).
+    batch of 1 MB images would otherwise need ~0.8 TB). A single row whose
+    decoded size exceeds the cap is itself processed in cap-sized slices
+    of its tiled index space, accumulating per-channel sums — so the bound
+    holds even for one pathologically fat payload (ADVICE r3).
     """
+
+    def _oversized_row_means(buf: np.ndarray, need: int, cap: int) -> np.ndarray:
+        """Per-channel byte sums of one row's tiled stream, ≤ cap bytes of
+        transient arrays per slice (sequential slices, O(3) carry)."""
+        length = len(buf)
+        sums = np.zeros(3, dtype=np.float64)
+        step = max(int(cap), 3)
+        for s in range(0, need, step):
+            j = np.arange(s, min(s + step, need))
+            sums += np.bincount(j % 3, weights=buf[j % length], minlength=3)
+        return sums
 
     def _chunk_means(payloads, widths, heights, lens, need) -> np.ndarray:
         """Vectorized channel means for one bounded chunk of rows."""
@@ -109,7 +123,8 @@ def extract_features(df: DataFrame, tiled_bytes_cap: int = 8 << 20) -> DataFrame
             lens = payloads.map(len).to_numpy(np.int64)
             need = widths * heights * 3
             # split rows so each sub-batch tiles ≤ tiled_bytes_cap bytes
-            # (a single oversized row becomes its own sub-batch)
+            # (a single oversized row becomes its own sub-batch, then is
+            # sliced internally so even IT stays under the cap)
             cuts = [0]
             acc = 0
             for i, nd in enumerate(need):
@@ -120,9 +135,14 @@ def extract_features(df: DataFrame, tiled_bytes_cap: int = 8 << 20) -> DataFrame
             cuts.append(n)
             means = np.empty((n, 3), dtype=np.float64)
             for s, e in zip(cuts[:-1], cuts[1:]):
-                means[s:e] = _chunk_means(
-                    payloads.iloc[s:e], widths[s:e], heights[s:e], lens[s:e], need[s:e]
-                )
+                if e - s == 1 and need[s] > tiled_bytes_cap:
+                    buf = np.frombuffer(payloads.iloc[s], dtype=np.uint8)
+                    sums = _oversized_row_means(buf, int(need[s]), tiled_bytes_cap)
+                    means[s] = sums / (widths[s] * heights[s])
+                else:
+                    means[s:e] = _chunk_means(
+                        payloads.iloc[s:e], widths[s:e], heights[s:e], lens[s:e], need[s:e]
+                    )
             yield pd.DataFrame(
                 {
                     "doc_id": pdf["doc_id"].to_numpy(),

@@ -257,11 +257,18 @@ def kmeans_fit(
     )
 
     def mean_cell(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        # sort by id: the reduction order (and thus the float64 sum) is
-        # partition-layout-invariant — centroids are bit-identical across
-        # runs AND cluster sizes, which the DuckDB oracle mirror relies on
+        # sort by id AND sum with a strict sequential left-fold
+        # (np.add.accumulate — NOT np.sum/mean, which reduce pairwise):
+        # the float64 result is then a pure function of the id-ordered
+        # value sequence, bit-identical across runs, partitionings, AND
+        # engines — the DuckDB oracle mirrors it with
+        # SUM(x ORDER BY id)/COUNT(*), whose sequential fold lands on the
+        # same double (verified: ordered-SUM == accumulate on
+        # order-sensitive fixtures), so ROUND(·,9) on both sides receives
+        # identical inputs instead of merely ulp-close ones
         pdf = pdf.sort_values("id")
-        m = np.vstack(pdf["v"].to_numpy()).astype(np.float64).mean(axis=0)
+        mat = np.vstack(pdf["v"].to_numpy()).astype(np.float64)
+        m = np.add.accumulate(mat, axis=0)[-1] / len(mat)
         return pd.DataFrame({"cell": [key[0]], "c": [m.tolist()]})
 
     for _ in range(iters):
@@ -275,7 +282,9 @@ def kmeans_fit(
         )
         new = centroids.copy()
         for r in rows:
-            new[r["cell"]] = np.round(r["c"], round_digits) if round_digits else r["c"]
+            new[r["cell"]] = (
+                np.round(r["c"], round_digits) if round_digits is not None else r["c"]
+            )
         # exact fixpoint only (a tolerance stop would diverge from the
         # fixed-iteration SQL mirror; iterating past a true fixpoint is a
         # no-op, so fixed `iters` and early-exact-stop agree)
