@@ -123,6 +123,41 @@ def main() -> int:
          "array_intersect" in p5, "array_intersect in plan" if "array_intersect" in p5 else "missing"))
     sections.append(("MinHash dedup verify stage", p5))
 
+    # 7. PIE auto-impl superstep (cogroup + Arrow kernel + min-combine):
+    # the pinned, range-partitioned adjacency must enter the cogroup with
+    # NO Exchange above its scan — only the state side's clustering and
+    # the global min-combine shuffle (2 exchanges/superstep, same budget
+    # as the dataframe superstep in check 2)
+    from libgrape_lite_spark.plans.kernels import (
+        cached_edge_balanced_bounds,
+        local_min_fixpoint,
+        segment_part_bounds,
+    )
+
+    with static_plans(spark):
+        nf = 8
+        bounds = cached_edge_balanced_bounds(edges, nf, key="src")
+        adj_p = (
+            undirected(edges.select("src", "dst"))
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+            .withColumn("part", segment_part_bounds("src", bounds))
+            .repartition(nf, "part")
+            .localCheckpoint(eager=True)
+        )
+        pie_state = vertices.select("id", F.col("id").alias("comp"))
+        step7 = local_min_fixpoint(adj_p, pie_state, "comp", nf, bounds=bounds)
+        p7 = plan_of(step7)
+    phys7 = p7.split("== Physical Plan ==")[1]
+    n_ex7 = len(re.findall(r"\(\d+\) Exchange", phys7))
+    has_kernel = "FlatMapCoGroupsInPandas" in phys7
+    results.append(
+        ("PIE superstep (wcc/sssp/bfs auto): adjacency not re-shuffled into the "
+         "cogroup kernel (2 exchanges: state + combine)",
+         n_ex7 == 2 and has_kernel,
+         f"exchanges={n_ex7}, arrow cogroup kernel={'yes' if has_kernel else 'MISSING'}"))
+    sections.append(("PIE local-fixpoint superstep (cogroup + Arrow kernel + min-combine)", p7))
+
     ok = True
     lines = ["# PLANS — audited physical plans (scripts/audit_plans.py)\n"]
     for name, passed, ev in results:
