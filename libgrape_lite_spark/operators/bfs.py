@@ -33,7 +33,6 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
@@ -98,11 +97,18 @@ def bfs(
         # per BFS call; same bounds wcc/sssp autos share)
         nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
         bounds = cached_edge_balanced_bounds(edges, nf, key="src")
-        unit = edges.select("src", "dst", F.lit(1.0).alias("weight"))
+        # the shared fragment table with BFS's unit weight substituted — a
+        # narrow projection that keeps the pinned range partitioning, so
+        # wcc/sssp/bfs on one graph share one fragment build
+        from libgrape_lite_spark.plans.kernels import pie_fragment_table
+
+        adj_p = pie_fragment_table(edges, nf, bounds, directed=directed).select(
+            "src", "dst", F.lit(1.0).alias("weight"), "part"
+        )
         d = _sssp_auto(
-            vertices, unit, source, directed, kdrv or drv,
+            vertices, edges, source, directed, kdrv or drv,
             max_rounds if rounds is None else rounds, num_fragments,
-            init_state=init_state, bounds=bounds,
+            init_state=init_state, bounds=bounds, adj_p=adj_p,
         )
         depth = (
             F.when(F.col("dist") == float("inf"), F.lit(INT64_MAX))
@@ -122,8 +128,12 @@ def bfs(
         return _finish_auto(None)
 
     with static_plans(spark):
-        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-        adj = adj.dropDuplicates(["src", "dst"]).repartition("src").localCheckpoint(eager=True)
+        # shared frontier-push layout (plans/kernels.py:push_adjacency_table)
+        # — self-loops are dropped there; a self-loop can never introduce an
+        # unvisited vertex, so BFS results are unchanged
+        from libgrape_lite_spark.plans.kernels import push_adjacency_table
+
+        adj = push_adjacency_table(edges, directed=directed, weighted=False)
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:

@@ -40,7 +40,7 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libgrape_lite_spark.functions.edges import out_degrees, undirected
+from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
@@ -98,15 +98,27 @@ def pagerank(
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
-        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
+        from libgrape_lite_spark.plans.kernels import cached_degree_table, cached_prepared
+
         if impl == "kernel":
             from libgrape_lite_spark.plans.kernels import gather_scatter, partition_edges
 
             nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-            adj = partition_edges(adj, nf).localCheckpoint(eager=True)
+
+            def _build_kernel_adj() -> DataFrame:
+                a = (
+                    edges.select("src", "dst")
+                    if directed
+                    else undirected(edges.select("src", "dst"))
+                )
+                return partition_edges(a, nf).localCheckpoint(eager=True)
+
+            adj = cached_prepared(edges, ("pr_kernel", nf, directed), _build_kernel_adj)
         else:
-            # pre-partition by the gather join key once; supersteps then shuffle
-            # only vertex-sized data (state join + groupBy combine).
+            # pre-partition by the gather join key once — shared across
+            # pagerank calls on this edge table (fixed-round + convergence
+            # runs build it once); supersteps then shuffle only
+            # vertex-sized data (state join + groupBy combine).
             # Serialized storage: the pinned adjacency is the biggest cached
             # table and is scanned once per round — packing it into byte
             # arrays (instead of one UnsafeRow object per edge) cuts
@@ -114,15 +126,24 @@ def pagerank(
             # own pinned CPUs (event-log measured: GC was 22% of task time).
             from pyspark.storagelevel import StorageLevel
 
-            adj = adj.repartition("src").localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-            )
+            def _build_gather_adj() -> DataFrame:
+                a = (
+                    edges.select("src", "dst")
+                    if directed
+                    else undirected(edges.select("src", "dst"))
+                )
+                return a.repartition("src").localCheckpoint(
+                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+                )
+
+            adj = cached_prepared(edges, ("pr_gather_src", directed), _build_gather_adj)
 
         n = vertices.count()
         p = 1.0 / n
         d = damping
 
-        deg = out_degrees(adj, vertices)  # counts parallel edges (GetLocalOutDegree)
+        # counts parallel edges (GetLocalOutDegree); memoized per graph
+        deg = cached_degree_table(edges, vertices, adj, directed)
         state = deg.select(
             "id",
             "degree",
@@ -260,10 +281,20 @@ def pagerank_local(
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
-        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-        adj = adj.repartition("dst").localCheckpoint(eager=True)
+        from libgrape_lite_spark.plans.kernels import cached_degree_table, cached_prepared
 
-        deg = out_degrees(adj, vertices)  # parallel edges count (GetLocalOutDegree)
+        def _build_local_adj() -> DataFrame:
+            a = (
+                edges.select("src", "dst")
+                if directed
+                else undirected(edges.select("src", "dst"))
+            )
+            return a.repartition("dst").localCheckpoint(eager=True)
+
+        adj = cached_prepared(edges, ("pr_local_dst", directed), _build_local_adj)
+        # parallel edges count (GetLocalOutDegree); memoized per graph —
+        # degree is layout-invariant, so this shares pagerank's entry
+        deg = cached_degree_table(edges, vertices, adj, directed)
         d = damping
         state = deg.select(
             "id",

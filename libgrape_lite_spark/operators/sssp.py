@@ -21,7 +21,6 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
@@ -57,18 +56,12 @@ def sssp(
         return _sssp_auto(vertices, edges, source, directed, drv, max_rounds, num_fragments)
 
     with static_plans(spark):
-        adj = (
-            edges.select("src", "dst", "weight")
-            if directed
-            else undirected(edges.select("src", "dst", "weight"))
-        )
         # parallel edges: only the min weight per (src,dst) can ever win a
-        # relaxation — pre-combining keeps the per-round join minimal
-        adj = (
-            adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
-            .repartition("src")
-            .localCheckpoint(eager=True)
-        )
+        # relaxation — pre-combining keeps the per-round join minimal; the
+        # partitioned table is shared across calls on this edge table
+        from libgrape_lite_spark.plans.kernels import push_adjacency_table
+
+        adj = push_adjacency_table(edges, directed=directed, weighted=True)
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:
@@ -129,6 +122,7 @@ def _sssp_auto(
     num_fragments: int | None,
     init_state: DataFrame | None = None,
     bounds: list[int] | None = None,
+    adj_p: DataFrame | None = None,
 ) -> DataFrame:
     """PIE-model SSSP: per-fragment local Bellman-Ford to fixpoint, then
     one min-combine shuffle of improved distances per superstep.
@@ -137,15 +131,16 @@ def _sssp_auto(
     fixpoint from already-settled distances instead of the bare source
     (used by BFS's dense-round switch; missing ids are +inf).
 
-    ``bounds`` — pre-computed fragment boundaries (BFS passes the ones
-    memoized on its original edge table, since the unit-weight table it
-    derives is a fresh object the per-table cache can't see)."""
+    ``bounds`` / ``adj_p`` — pre-computed fragment boundaries and prepared
+    fragment table (BFS passes both, derived from the memo on its original
+    edge table, since the unit-weight view it takes would otherwise be a
+    fresh object the per-table cache can't see)."""
     import time as _time
 
     from libgrape_lite_spark.plans.kernels import (
         cached_edge_balanced_bounds,
         local_relax_fixpoint,
-        segment_part_bounds,
+        pie_fragment_table,
     )
 
     spark = vertices.sparkSession
@@ -154,20 +149,15 @@ def _sssp_auto(
         # edge-count-balanced fragment ranges (Rebalancer parity) — skewed
         # graphs keep ≈E/nf edges per fragment; results are partitioning-
         # invariant. Quantiles over the RAW src column (one narrow scan,
-        # not the doubled table), memoized per edge table so several
-        # operators on one graph share a single pass.
+        # not the doubled table), memoized per edge table — as is the
+        # fragment table itself — so several operators on one graph share
+        # a single prep pass.
         if bounds is None:
             bounds = cached_edge_balanced_bounds(edges, nf, key="src")
         adj = (
-            edges.select("src", "dst", "weight")
-            if directed
-            else undirected(edges.select("src", "dst", "weight"))
-        )
-        adj = (
-            adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
-            .withColumn("part", segment_part_bounds("src", bounds))
-            .repartition(nf, "part")
-            .localCheckpoint(eager=True)
+            adj_p
+            if adj_p is not None
+            else pie_fragment_table(edges, nf, bounds, directed=directed)
         )
 
         resumed = drv.latest_checkpoint()

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
+from libgrape_lite_spark.plans.kernels import push_adjacency_table
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
@@ -87,17 +88,13 @@ def wcc(
     with static_plans(spark):
         # Both directions once; parallel edges/self-loops add nothing to a
         # min-aggregate, so dedup shrinks every subsequent shuffle.
-        # Pre-partition the (big) adjacency by the per-round join key ONCE:
-        # localCheckpoint preserves outputPartitioning, so every superstep's
-        # join exchanges only the vertex-sized state side (verified via
-        # .explain — Scan ExistingRDD feeds the join with no Exchange above it).
-        adj = (
-            undirected(edges.select("src", "dst"))
-            .where(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
-            .repartition("src")
-            .localCheckpoint(eager=True)
-        )
+        # Pre-partition the (big) adjacency by the per-round join key ONCE
+        # — shared across operator calls on this edge table
+        # (plans/kernels.py:push_adjacency_table): localCheckpoint
+        # preserves outputPartitioning, so every superstep's join exchanges
+        # only the vertex-sized state side (verified via .explain — Scan
+        # ExistingRDD feeds the join with no Exchange above it).
+        adj = push_adjacency_table(edges, directed=False, weighted=False)
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:
@@ -233,7 +230,7 @@ def _wcc_kernel_auto(
     from libgrape_lite_spark.plans.kernels import (
         cached_edge_balanced_bounds,
         local_min_fixpoint,
-        segment_part_bounds,
+        pie_fragment_table,
     )
     from libgrape_lite_spark.session import static_plans
 
@@ -247,15 +244,15 @@ def _wcc_kernel_auto(
         # column scan instead of materializing the doubled table twice —
         # and MEMOIZED per edge table, so the scan happens once per graph,
         # not once per operator call; the boundary approximation only
-        # shifts fragment balance, never correctness.
+        # shifts fragment balance, never correctness. The fragment table
+        # itself is shared the same way (PrepareToRunApp-once parity):
+        # wcc takes narrow projections off the pinned table — self-loops
+        # and weights are invisible to min-label propagation.
         bounds = cached_edge_balanced_bounds(edges, nf, key="src")
         adj = (
-            undirected(edges.select("src", "dst"))
+            pie_fragment_table(edges, nf, bounds, directed=False)
             .where(F.col("src") != F.col("dst"))
-            .dropDuplicates(["src", "dst"])
-            .withColumn("part", segment_part_bounds("src", bounds))
-            .repartition(nf, "part")
-            .localCheckpoint(eager=True)
+            .select("src", "dst", "part")
         )
 
         resumed = drv.latest_checkpoint()

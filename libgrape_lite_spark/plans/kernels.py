@@ -394,3 +394,127 @@ def segment_part_bounds(col: str, bounds: list[int]):
     for b in bounds[1:]:
         expr = expr + (F.col(col) > F.lit(b)).cast("int")
     return expr
+
+
+_PREP_CACHE_ATTR = "_lgls_prepared"
+
+
+def cached_prepared(edges: DataFrame, key: tuple, build):
+    """Memoize a prepared (partitioned + pinned) table on the edge table.
+
+    The reference builds its fragment ONCE (`BasicFragmentLoader` →
+    `PrepareToRunApp`) and then runs any number of apps over it; Spark
+    operators that each rebuild their own partitioned adjacency pay a full
+    E-shuffle per call instead. Tables memoized here live exactly as long
+    as the caller's edge DataFrame object — running several algorithms on
+    one graph (the normal analytics session) reuses one prep pass per
+    layout. Call :func:`invalidate_prepared` to drop the pinned blocks
+    early.
+    """
+    cache = getattr(edges, _PREP_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(edges, _PREP_CACHE_ATTR, cache)
+    if key not in cache:
+        cache[key] = build()
+    return cache[key]
+
+
+def invalidate_prepared(edges: DataFrame) -> None:
+    """Unpersist + forget every prepared table memoized on ``edges``."""
+    cache = getattr(edges, _PREP_CACHE_ATTR, None) or {}
+    for v in cache.values():
+        try:
+            (v[1] if isinstance(v, tuple) else v).unpersist()
+        except Exception:
+            pass
+    cache.clear()
+
+
+def push_adjacency_table(
+    edges: DataFrame, directed: bool = False, weighted: bool = False
+) -> DataFrame:
+    """The frontier-push impls' shared gather layout: hash-partitioned by
+    ``src`` and pinned. Unweighted (wcc dataframe, bfs push) keeps distinct
+    non-self-loop (src, dst) pairs; weighted (sssp dataframe) keeps the min
+    weight per pair — the only weight that can win a relaxation. Built once
+    per (graph, direction, weightedness); every operator call on the same
+    edge table reuses it."""
+
+    def build() -> DataFrame:
+        from libgrape_lite_spark.functions.edges import undirected as _undirected
+
+        if weighted:
+            w = (F.col("weight") if "weight" in edges.columns else F.lit(1.0)).alias(
+                "weight"
+            )
+            e = edges.select("src", "dst", w)
+            adj = e if directed else _undirected(e)
+            adj = adj.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        else:
+            e = edges.select("src", "dst")
+            adj = e if directed else _undirected(e)
+            adj = adj.where(F.col("src") != F.col("dst")).dropDuplicates(
+                ["src", "dst"]
+            )
+        return adj.repartition("src").localCheckpoint(eager=True)
+
+    return cached_prepared(edges, ("push", directed, weighted), build)
+
+
+def cached_degree_table(
+    edges: DataFrame, vertices: DataFrame, adj: DataFrame, directed: bool
+) -> DataFrame:
+    """Out-degree table (parallel edges counted, zero-degree vertices
+    included) memoized per (edge table, vertices object, direction) — the
+    vertices frame is held and identity-checked so a different vertex set
+    over the same edges rebuilds. PageRank runs (fixed-round + convergence
+    mode) on one graph share a single degree pass."""
+    cache = getattr(edges, _PREP_CACHE_ATTR, None)
+    if cache is None:
+        cache = {}
+        setattr(edges, _PREP_CACHE_ATTR, cache)
+    key = ("outdeg", directed)
+    ent = cache.get(key)
+    if ent is None or ent[0] is not vertices:
+        from libgrape_lite_spark.functions.edges import out_degrees
+
+        ent = (vertices, out_degrees(adj, vertices).localCheckpoint(eager=True))
+        cache[key] = ent
+    return ent[1]
+
+
+def pie_fragment_table(
+    edges: DataFrame, num_fragments: int, bounds: list[int], directed: bool = False
+) -> DataFrame:
+    """The PIE kernels' shared fragment table: (src, dst, weight, part),
+    range-partitioned by :func:`segment_part_bounds` and pinned.
+
+    One table serves wcc/sssp/bfs auto impls on the same graph — wcc
+    projects (src, dst) and drops self-loops, bfs overrides the weight
+    with 1.0 — all narrow transforms that preserve the partitioning, so
+    the doubling + per-(src,dst) min-weight combine + range shuffle
+    happens once per (graph, fragment-count, direction), not once per
+    operator call. Parallel edges collapse to their min weight, which is
+    the only weight that can ever win a relaxation and is invisible to
+    min-label propagation."""
+
+    def build() -> DataFrame:
+        from libgrape_lite_spark.functions.edges import undirected as _undirected
+
+        w = (F.col("weight") if "weight" in edges.columns else F.lit(1.0)).alias(
+            "weight"
+        )
+        e = edges.select("src", "dst", w)
+        adj = e if directed else _undirected(e)
+        return (
+            adj.groupBy("src", "dst")
+            .agg(F.min("weight").alias("weight"))
+            .withColumn("part", segment_part_bounds("src", bounds))
+            .repartition(num_fragments, "part")
+            .localCheckpoint(eager=True)
+        )
+
+    return cached_prepared(
+        edges, ("pie", num_fragments, tuple(bounds), directed), build
+    )

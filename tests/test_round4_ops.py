@@ -109,3 +109,47 @@ def test_wcc_pull_and_push_rounds_agree(spark):
     expect = {0: 0, 1: 0, 2: 0, 3: 0, 4: 4, 5: 4, 6: 4, 7: 7}
     assert as_dict(wcc(v, e, impl="dataframe", pull_fraction=0.0)) == expect
     assert as_dict(wcc(v, e, impl="dataframe", pull_fraction=1.0)) == expect
+
+
+# ------------------------------ shared prepared-table cache correctness
+def test_prepared_tables_shared_across_operators(spark):
+    """PrepareToRunApp-once parity: operators on the SAME edge table share
+    the pinned fragment/push/degree tables (memoized on the object), and
+    results are identical to fresh-object runs; a different vertices
+    object over the same edges rebuilds the degree table."""
+    from libgrape_lite_spark.operators import bfs, pagerank, sssp, wcc
+    from libgrape_lite_spark.plans.kernels import _PREP_CACHE_ATTR, invalidate_prepared
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7)]
+    v = make_vertices(spark, range(1, 8))
+    e = make_edges(spark, pairs)
+
+    r_wcc = as_dict(wcc(v, e))
+    r_bfs = as_dict(bfs(v, e, source=1))
+    r_sssp = as_dict(sssp(v, e, source=1, impl="auto"))
+    r_pr = as_dict(pagerank(v, e, max_rounds=3))
+    r_pr2 = as_dict(pagerank(v, e, max_rounds=3))
+    assert r_pr == r_pr2  # cached adjacency + degree table reused bit-stably
+    cache = getattr(e, _PREP_CACHE_ATTR)
+    assert any(k[0] == "pie" for k in cache)      # wcc/bfs/sssp share this
+    assert ("pr_gather_src", False) in cache
+    assert ("outdeg", False) in cache
+
+    # fresh objects (no cache) must agree exactly
+    v2 = make_vertices(spark, range(1, 8))
+    e2 = make_edges(spark, pairs)
+    assert as_dict(wcc(v2, e2)) == r_wcc
+    assert as_dict(bfs(v2, e2, source=1)) == r_bfs
+    assert as_dict(sssp(v2, e2, source=1, impl="auto")) == r_sssp
+    assert as_dict(pagerank(v2, e2, max_rounds=3)) == r_pr
+
+    # a different vertices frame over the same edges: degree table rebuilds
+    # (vertex 8 is isolated → dangling, must appear with a rank)
+    v3 = make_vertices(spark, range(1, 9))
+    r_pr3 = as_dict(pagerank(v3, e, max_rounds=3))
+    assert 8 in r_pr3 and len(r_pr3) == 8
+
+    # invalidation drops the pinned tables; operators rebuild transparently
+    invalidate_prepared(e)
+    assert not getattr(e, _PREP_CACHE_ATTR)
+    assert as_dict(wcc(v, e)) == r_wcc
