@@ -105,6 +105,20 @@ def _q_wcc(spark, sf_dir):
     )
 
 
+def _q_wcc_twostar(spark, sf_dir):
+    """Large-star/small-star WCC (diameter-independent rounds) — same
+    fixpoint as hash-min, checked against the same recursive SQL oracle."""
+    from libgrape_lite_spark.operators import wcc
+
+    vertices, edges = _graph(spark, sf_dir)
+    comp = wcc(vertices, edges, impl="twostar")
+    return (
+        comp.join(vertices, "id")
+        .join(_oid_of(vertices, "comp", "comp_oid"), "comp")
+        .select("oid", "comp_oid")
+    )
+
+
 def _q_pagerank(spark, sf_dir, directed=False):
     from libgrape_lite_spark.operators import pagerank
 
@@ -311,6 +325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "edge_derivation": _q_edges,
         "degrees": _q_degrees,
         "wcc": _q_wcc,
+        "wcc_twostar": _q_wcc_twostar,
         "pagerank": lambda s, d: _q_pagerank(s, d, directed=False),
         "pagerank_directed": lambda s, d: _q_pagerank(s, d, directed=True),
         "pagerank_local": _q_pagerank_local,
@@ -876,6 +891,7 @@ def oracle_sql() -> dict[str, str]:
         "edge_derivation": f"WITH {_EDGES} SELECT src_oid, dst_oid, weight, etype FROM edges",
         "degrees": _sql_degrees(),
         "wcc": _sql_wcc(),
+        "wcc_twostar": _sql_wcc(),
         "pagerank": _sql_pagerank(directed=False),
         "pagerank_directed": _sql_pagerank(directed=True),
         "pagerank_local": _sql_pagerank_local(),

@@ -20,8 +20,10 @@ message dedup (SURVEY.md §2.4); AQE skew-join handles hub vertices.
 
 Scale note: hash-min converges in O(diameter) rounds; for very-high-diameter
 graphs the classic escape hatch is large-star/small-star (Kiveris et al.,
-"Connected Components in MapReduce and Beyond", SoCC'14) — not needed for
-link graphs whose diameter is small, documented as the upgrade path.
+"Connected Components in MapReduce and Beyond", SoCC'14), available here as
+``impl="twostar"`` — rounds are O(log² V) independent of diameter, the right
+choice when neither frontier push nor the PIE fragments can amortize a long
+chain. Link graphs (small diameter) keep ``impl="auto"`` as the default.
 """
 
 from __future__ import annotations
@@ -74,9 +76,13 @@ def wcc(
         cost, exactly the reference's trade.
       * ``"kernel"`` — per-fragment Arrow gather-scatter (reduce_fn="min",
         long-typed end-to-end; exact past 2^53 vertex ids).
+      * ``"twostar"`` — large-star/small-star alternation (Kiveris et al.,
+        SoCC'14): O(log² V) rounds independent of graph DIAMETER — the
+        escape hatch for path-/mesh-like graphs where every other impl
+        needs O(diameter) (or O(cross-fragment diameter)) supersteps.
     """
-    if impl not in ("dataframe", "kernel", "auto"):
-        raise ValueError(f"impl must be dataframe|kernel|auto, got {impl!r}")
+    if impl not in ("dataframe", "kernel", "auto", "twostar"):
+        raise ValueError(f"impl must be dataframe|kernel|auto|twostar, got {impl!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
@@ -84,6 +90,8 @@ def wcc(
         return _wcc_kernel(vertices, edges, drv, max_rounds, num_fragments)
     if impl == "auto":
         return _wcc_kernel_auto(vertices, edges, drv, max_rounds, num_fragments)
+    if impl == "twostar":
+        return _wcc_two_star(vertices, edges, drv, max_rounds)
 
     with static_plans(spark):
         # Both directions once; parallel edges/self-loops add nothing to a
@@ -156,6 +164,98 @@ def wcc(
 
     drv.finish()
     return state.select("id", "comp")
+
+
+def _wcc_two_star(
+    vertices: DataFrame,
+    edges: DataFrame,
+    drv: IterationDriver,
+    max_rounds: int | None,
+) -> DataFrame:
+    """Large-star/small-star WCC (Kiveris et al., "Connected Components in
+    MapReduce and Beyond", SoCC'14, Alg. 2 "alternating") — the published
+    shuffle-round-optimal formulation, re-expressed as DataFrame algebra:
+
+    * **large-star** on the symmetrized edge set: every vertex u links each
+      strictly-LARGER neighbor v to ``m(u) = min(Γ(u) ∪ {u})`` —
+      ``B ⋈ groupBy(u).min`` then ``(v, m)`` for ``v > u``;
+    * **small-star** on edges oriented toward the larger endpoint: every u
+      links each smaller neighbor AND itself to the minimum —
+      ``(v, m) ∪ (u, m)``.
+
+    Both preserve connectivity and strictly shrink the forest height; the
+    alternation converges (edge set reaches a fixpoint) in O(log² V)
+    rounds REGARDLESS of graph diameter — a 10⁶-long reply chain takes
+    ~⌈log⌉ rounds here vs 10⁶ frontier pushes. At the fixpoint every edge
+    is (v, component-min), i.e. a star forest; labels read off directly.
+    Each round = 3 vertex/edge-keyed shuffles (two stars + the stability
+    anti-join), all map-side combined; no driver-side data beyond counts.
+    """
+    with static_plans(vertices.sparkSession):
+        e = (
+            edges.select("src", "dst")
+            .where(F.col("src") != F.col("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+
+        def swap(df: DataFrame) -> DataFrame:
+            return df.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+
+        def large_star(df: DataFrame) -> DataFrame:
+            b = df.unionByName(swap(df))
+            m = b.groupBy("src").agg(F.min("dst").alias("mv"))
+            m = m.select("src", F.least("mv", F.col("src")).alias("m"))
+            return (
+                b.join(m, "src")
+                .where(F.col("dst") > F.col("src"))
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+
+        def small_star(df: DataFrame) -> DataFrame:
+            b = df.select(
+                F.greatest("src", "dst").alias("src"),
+                F.least("src", "dst").alias("dst"),
+            ).where(F.col("src") != F.col("dst"))
+            m = b.groupBy("src").agg(F.min("dst").alias("m"))
+            linked = (
+                b.join(m, "src")
+                .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+                .unionByName(m.select("src", F.col("m").alias("dst")))
+                .where(F.col("src") != F.col("dst"))
+                .distinct()
+            )
+            return linked
+
+        step = 0
+        state = drv.materialize(e, step)
+        while max_rounds is None or step < max_rounds:
+            import time as _time
+
+            t0 = _time.time()
+            step += 1
+            new = small_star(large_star(state))
+            new = drv.materialize(new, step)
+            # set-stability check: same size and no edge left the set ⇒
+            # fixpoint (both stars are deterministic set functions)
+            changed = 1
+            if new.count() == state.count():
+                changed = new.subtract(state).limit(1).count()
+            state = new
+            drv.log(step, changed, _time.time() - t0, op="wcc_twostar")
+            if changed == 0:
+                break
+
+    drv.finish()
+    # star forest: src → component min; roots/isolated vertices = own id
+    parents = state.groupBy("src").agg(F.min("dst").alias("comp"))
+    out = (
+        vertices.select("id")
+        .join(parents.withColumnRenamed("src", "id"), "id", "left")
+        .select("id", F.coalesce("comp", F.col("id")).alias("comp"))
+    )
+    return out
 
 
 def _wcc_kernel(

@@ -153,3 +153,38 @@ def test_prepared_tables_shared_across_operators(spark):
     invalidate_prepared(e)
     assert not getattr(e, _PREP_CACHE_ATTR)
     assert as_dict(wcc(v, e)) == r_wcc
+
+
+# ------------------------------------- large-star/small-star WCC (twostar)
+def test_wcc_twostar_matches_auto_across_shapes(spark):
+    """impl='twostar' (Kiveris et al. alternating algorithm) must produce
+    the exact min-label components of the default impl on chains, stars,
+    random graphs with parallel edges/self-loops, and isolated vertices —
+    and converge in ~log rounds on a 200-chain where frontier push needs
+    200."""
+    import random
+
+    from libgrape_lite_spark.operators import wcc
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    rng = random.Random(42)
+    rand_pairs = [(rng.randrange(80), rng.randrange(80)) for _ in range(70)]
+    shapes = {
+        "chain200": [(i, i + 1) for i in range(200)],
+        "star": [(0, i) for i in range(1, 40)],
+        "rand": rand_pairs + [(5, 5), (7, 8), (7, 8)],  # self + parallel
+        "two_comps": [(1, 2), (2, 3), (10, 11)],
+    }
+    chain_drv = None
+    for name, pairs in shapes.items():
+        ids = sorted({x for p in pairs for x in p} | {9999})  # + isolated
+        v = make_vertices(spark, ids)
+        e = make_edges(spark, pairs)
+        drv = IterationDriver(spark)
+        two = as_dict(wcc(v, e, impl="twostar", driver=drv))
+        auto = as_dict(wcc(v, e))
+        assert two == auto, name
+        if name == "chain200":
+            chain_drv = drv
+    # diameter 200, but two-star rounds are O(log^2 V) — single digits here
+    assert len(chain_drv.metrics) <= 12, len(chain_drv.metrics)
