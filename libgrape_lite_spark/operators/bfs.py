@@ -61,7 +61,9 @@ def bfs(
     global rounds count cross-fragment hops — the win on deep chains (a
     61-level directed reply chain takes 61 frontier rounds but ~2-3 auto
     supersteps), and the measured winner on the chain-heavy transcript
-    graph (sf0.01: 3.8 s vs 5.2 s push; sf0.1: 5.6 s vs 7.2 s).
+    graph under equal conditions (sf0.1, shared prep tables warm,
+    alternating runs: auto 3.9-4.0 s vs push 4.7-4.8 s; single
+    bench-order runs vary ±1.5 s with JVM pressure).
     ``"dataframe"`` is the frontier push — cheaper per round when
     frontiers are tiny relative to the graph — with two guard rails for
     the non-tiny case:
