@@ -57,9 +57,19 @@ def cdlp(
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
-        # keep parallel edges — multiplicity affects the vote (cdlp_utils.h:31-33)
-        adj = edges.select("src", "dst") if directed else undirected(edges.select("src", "dst"))
-        # gather joins on dst each round — pre-partition the edge side once
+        from libgrape_lite_spark.plans.kernels import cached_prepared
+
+        # keep parallel edges — multiplicity affects the vote
+        # (cdlp_utils.h:31-33); gather joins on dst each round, so
+        # pre-partition the edge side once — the table is memoized per
+        # edge table and SHARED with pagerank_local (identical layout)
+        def _doubled() -> DataFrame:
+            return (
+                edges.select("src", "dst")
+                if directed
+                else undirected(edges.select("src", "dst"))
+            )
+
         if impl == "kernel":
             from libgrape_lite_spark.plans.kernels import (
                 gather_label_counts,
@@ -67,9 +77,19 @@ def cdlp(
             )
 
             nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-            adj = partition_edges(adj, nf, key="dst").localCheckpoint(eager=True)
+            adj = cached_prepared(
+                edges,
+                ("gather_dst_kernel", nf, directed),
+                lambda: partition_edges(_doubled(), nf, key="dst").localCheckpoint(
+                    eager=True
+                ),
+            )
         else:
-            adj = adj.repartition("dst").localCheckpoint(eager=True)
+            adj = cached_prepared(
+                edges,
+                ("gather_dst", directed),
+                lambda: _doubled().repartition("dst").localCheckpoint(eager=True),
+            )
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:

@@ -67,14 +67,20 @@ def triangle_counts(
     """
     if impl not in ("intersect", "wedge"):
         raise ValueError(f"impl must be intersect|wedge, got {impl!r}")
+    from libgrape_lite_spark.plans.kernels import cached_degree_table, push_adjacency_table
+
     doubled = _doubled if _doubled is not None else undirected(edges.select("src", "dst"))
+    # duplicate-counting degree — shared with pagerank's degree pass
     deg = (
         _deg
         if _deg is not None
-        else doubled.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("deg"))
+        else cached_degree_table(edges, vertices, doubled, directed=False)
+        .select("id", F.col("degree").alias("deg"))
     )
 
-    nbr = doubled.where(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+    # distinct non-self-loop pairs — the same pinned table the frontier-push
+    # impls gather over (prep shared across operators on one edge table)
+    nbr = push_adjacency_table(edges, directed=False, weighted=False)
     ranked = (
         nbr.join(deg.select(F.col("id").alias("src"), F.col("deg").alias("sdeg")), "src")
         .join(deg.select(F.col("id").alias("dst"), F.col("deg").alias("ddeg")), "dst")
@@ -129,14 +135,14 @@ def lcc(
     lcc denominator keeps the ORIGINAL degree, so filtered vertices emit
     0.0 exactly like the reference (tricnt stays 0, lcc.h:217-231).
     """
+    from libgrape_lite_spark.plans.kernels import cached_degree_table
+
     doubled = undirected(edges.select("src", "dst"))
     # deg feeds BOTH the orientation (twice, via triangle_counts) and the
-    # lcc denominator — computed and pinned once (was recomputed per use,
-    # the plausible cause of the r2 lcc bench wobble)
-    deg = (
-        doubled.groupBy(F.col("src").alias("id"))
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
+    # lcc denominator — computed and pinned once per GRAPH (shared with
+    # pagerank's degree pass via the per-edge-table memo)
+    deg = cached_degree_table(edges, vertices, doubled, directed=False).select(
+        "id", F.col("degree").alias("deg")
     )
     tri = triangle_counts(
         vertices, edges, degree_threshold=degree_threshold, _doubled=doubled, _deg=deg

@@ -291,7 +291,8 @@ def pagerank_local(
             )
             return a.repartition("dst").localCheckpoint(eager=True)
 
-        adj = cached_prepared(edges, ("pr_local_dst", directed), _build_local_adj)
+        # same layout CDLP gathers over — one shared cache entry
+        adj = cached_prepared(edges, ("gather_dst", directed), _build_local_adj)
         # parallel edges count (GetLocalOutDegree); memoized per graph —
         # degree is layout-invariant, so this shares pagerank's entry
         deg = cached_degree_table(edges, vertices, adj, directed)
