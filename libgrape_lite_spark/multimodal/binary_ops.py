@@ -77,8 +77,13 @@ def extract_features(df: DataFrame, tiled_bytes_cap: int = 8 << 20) -> DataFrame
     """
 
     def _oversized_row_means(buf: np.ndarray, need: int, cap: int) -> np.ndarray:
-        """Per-channel byte sums of one row's tiled stream, ≤ cap bytes of
-        transient arrays per slice (sequential slices, O(3) carry)."""
+        """Per-channel byte sums of one row's tiled stream, sliced so each
+        slice covers ≤ cap tiled byte positions (sequential slices, O(3)
+        carry). Like the chunk path, each slice's transient arrays are ~26×
+        its tiled byte count (three int64 index arrays + the float64
+        bincount weights), so the effective bound is ~26× cap — the same
+        multiplier the batch splitter's cap is sized against, NOT cap raw
+        bytes (ADVICE r4)."""
         length = len(buf)
         sums = np.zeros(3, dtype=np.float64)
         step = max(int(cap), 3)

@@ -129,17 +129,32 @@ def make_batch_processor(
     state = {
         "edges": initial_edges, "since_compact": 0, "gen": 0,
         "through": -1, "seen": -1,
+        # recovery snapshot, kept so replayed batches can be re-answered
+        # against the graph as of THEIR OWN batch (not the full recovered
+        # state): the compaction-only DataFrame + the committed WAL dirs
+        "compact_df": None, "wal": [],
     }
     marker = os.path.join(checkpoint_path, "edge_state_CURRENT")
     if initial_edges is None:
         try:
             with open(marker) as fh:
-                g, through = (int(x) for x in fh.read().strip().split(":"))
+                raw = fh.read().strip()
+            if ":" in raw:
+                g, through = (int(x) for x in raw.split(":"))
+            else:
+                # legacy (pre-WAL) marker: a bare generation int. The old
+                # layout has no per-batch WAL dirs, so compaction-only
+                # recovery is exactly what it ever offered; through=-1
+                # makes the (empty) WAL scan below a no-op instead of the
+                # two-target unpack raising and SILENTLY recovering an
+                # empty graph (ADVICE r4, medium).
+                g, through = int(raw), -1
             d = os.path.join(checkpoint_path, f"edge_state_{g}")
             if os.path.exists(os.path.join(d, "_SUCCESS")):
                 state["edges"] = spark.read.parquet(d)
                 state["gen"] = g
                 state["through"] = through
+                state["compact_df"] = state["edges"]
         except (FileNotFoundError, ValueError, OSError):
             pass
         # replay the committed WAL past the compaction point — batches the
@@ -156,6 +171,7 @@ def make_batch_processor(
             )
         state["since_compact"] = len(pending)
         state["seen"] = max([state["through"]] + [b for b, _ in pending])
+        state["wal"] = pending
 
     def process_batch(batch_df: DataFrame, batch_id: int) -> None:
         if "kind" in batch_df.columns:
@@ -171,8 +187,19 @@ def make_batch_processor(
         if batch_id <= state["seen"]:
             # replay of a batch already folded in during recovery: the WAL
             # dir backs the current state's plan, so neither rewrite nor
-            # re-union — just re-answer (and re-overwrite the sink below)
-            acc = state["edges"]
+            # re-union. Re-answer against the graph AS OF THIS BATCH —
+            # compaction ∪ WAL dirs with id ≤ batch_id (they are per-batch
+            # dirs) — so when MORE than one batch replays (stream checkpoint
+            # lagging the WAL), each query batch still sees exactly the
+            # edges that preceded it, and its re-overwritten sink output is
+            # byte-identical to the original run (ADVICE r4).
+            acc = state["compact_df"]
+            for b, d in state["wal"]:
+                if b <= batch_id:
+                    part = spark.read.parquet(d)
+                    acc = part if acc is None else acc.unionByName(part)
+            if acc is None:  # replayed batch preceded any recovered edges
+                acc = state["edges"].limit(0)
             roots = queries
             if batch_queries is not None:
                 roots = (

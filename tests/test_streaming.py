@@ -363,3 +363,95 @@ def test_wal_dirs_pruned_after_compaction(spark, tmp_path):
     assert (ckpt / "edge_state_CURRENT").read_text().split(":")[1] == "1"
     names = sorted(d.name for d in (ckpt / "edge_batches").iterdir())
     assert names == ["batch=2"]
+
+
+def test_restart_on_legacy_marker_recovers_compaction(spark, tmp_path):
+    """A pre-round-4 checkpoint's marker is a bare generation int (no
+    ':through'). The two-target unpack used to raise inside the swallowed
+    except and restart recovered an EMPTY graph — silent data loss
+    (ADVICE r4, medium). Legacy markers must parse as (gen, through=-1):
+    the old layout has no WAL, so compaction-only recovery is correct."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = tmp_path / "ck"
+    queries = spark.createDataFrame([(0,)], "root long")
+    p = make_batch_processor(
+        spark, queries, sink, str(ckpt), hops=2, fanout=2, compact_every=1
+    )
+    p(
+        spark.createDataFrame([(0, 1, 1.0)], "src long, dst long, weight double"),
+        0,
+    )
+    # rewrite the marker into the legacy single-int format; the old layout
+    # also had no WAL dirs (compaction covered everything it knew about)
+    marker = ckpt / "edge_state_CURRENT"
+    gen = marker.read_text().split(":")[0]
+    marker.write_text(gen)
+    import shutil
+
+    shutil.rmtree(ckpt / "edge_batches", ignore_errors=True)
+
+    p2 = make_batch_processor(
+        spark, queries, sink, str(ckpt), hops=2, fanout=2, compact_every=10
+    )
+    p2(
+        spark.createDataFrame([(1, 2, 1.0)], "src long, dst long, weight double"),
+        1,
+    )
+    last = spark.read.parquet(sink).where(F.col("batch_id") == 1)
+    got = sorted((r["root"], r["hop"], r["src"], r["dst"]) for r in last.collect())
+    # hop 2 reaching (1,2) proves edge (0,1) survived the legacy recovery
+    assert got == [(0, 1, 0, 1), (0, 2, 1, 2)]
+
+
+def test_multi_batch_replay_answers_as_of_own_batch(spark, tmp_path):
+    """When the stream checkpoint lags the WAL, MORE than one committed
+    batch replays after restart. Each replayed query batch must be
+    re-answered against the graph as of ITS OWN batch (compaction ∪ WAL
+    dirs ≤ batch_id), not the full recovered state — otherwise the replay
+    overwrites a previously-correct sink dir with answers from a newer
+    graph (ADVICE r4)."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = str(tmp_path / "ck")
+
+    def interleaved(rows):
+        return spark.createDataFrame(
+            rows, "kind string, src long, dst long, weight double"
+        )
+
+    b0 = interleaved([("e", 0, 1, 1.0)])
+    b1 = interleaved([("e", 1, 2, 1.0), ("q", 0, 0, 0.0)])
+    b2 = interleaved([("e", 2, 3, 1.0), ("q", 0, 0, 0.0)])
+
+    p1 = make_batch_processor(
+        spark, None, sink, ckpt, hops=3, fanout=2, compact_every=10
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        p1(b, i)
+    orig_b1 = sorted(
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in spark.read.parquet(sink).where(F.col("batch_id") == 1).collect()
+    )
+    # batch 1's graph is {(0,1),(1,2)} — (2,3) must be absent
+    assert orig_b1 == [(0, 1, 0, 1), (0, 2, 1, 2)]
+
+    # crash with the stream checkpoint reset: ALL three batches replay on
+    # the recovered processor (recovery folded WAL 0..2, seen=2)
+    p2 = make_batch_processor(
+        spark, None, sink, ckpt, hops=3, fanout=2, compact_every=10
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        p2(b, i)
+    replay_b1 = sorted(
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in spark.read.parquet(sink).where(F.col("batch_id") == 1).collect()
+    )
+    assert replay_b1 == orig_b1  # not polluted by batch 2's (2,3)
+    replay_b2 = sorted(
+        (r["root"], r["hop"], r["src"], r["dst"])
+        for r in spark.read.parquet(sink).where(F.col("batch_id") == 2).collect()
+    )
+    assert replay_b2 == [(0, 1, 0, 1), (0, 2, 1, 2), (0, 3, 2, 3)]
