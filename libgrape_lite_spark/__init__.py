@@ -16,5 +16,13 @@ golden outputs on ``dataset/p2p-31`` (see tests/test_golden_p2p31.py).
 
 from libgrape_lite_spark.session import get_spark
 
-__all__ = ["get_spark"]
+
+def prepared_session(*edge_tables):
+    """Scope the per-graph prepared-table cache (see plans/kernels.py)."""
+    from libgrape_lite_spark.plans.kernels import prepared_session as _ps
+
+    return _ps(*edge_tables)
+
+
+__all__ = ["get_spark", "prepared_session"]
 __version__ = "0.1.0"

