@@ -2,8 +2,21 @@
 on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line.
 
 Headline metric (BASELINE.json): PageRank supersteps/sec and
-edges-processed/sec. Per-query wall times go in "queries". Set
-SPARK_GRAFT_SCALING=1 to additionally measure PageRank throughput at
+edges-processed/sec — reported as the MEDIAN of three back-to-back runs
+inside this one invocation (raw triple in "pagerank_runs_sec"), so a
+single host-noise spike can't set the record either way.
+
+Protocol (fixed in round 5, VERDICT r4 items 1+3): the timed
+``graph_build`` step prebuilds EVERY shared prepared layout via
+``plans.kernels.prepare_graph`` — fragment bounds, PIE fragment table,
+both push adjacencies, both gather adjacencies, degree table, CDLP kernel
+layout. Each per-operator number therefore measures supersteps only and
+is comparable in any order (previously the first caller of a layout
+absorbed its build). Every invocation also writes its full raw result —
+machine-clock timestamps included — to ``BENCH/runs/bench_<epoch>.json``;
+numbers quoted in BENCH/BASELINE.md must cite one of those files.
+
+Set SPARK_GRAFT_SCALING=1 to additionally measure PageRank throughput at
 local[8] vs local[32] on the same synthetic transcript graph and report
 scaling efficiency (see scripts/bench_scaling.py and BENCH/BASELINE.md for
 the recorded protocol).
@@ -13,6 +26,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -22,6 +36,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 PR_ROUNDS = 10
+PR_REPEATS = 3
+RUNS_DIR = Path(__file__).resolve().parent / "BENCH" / "runs"
 
 
 def build_graph(spark, sf_dir):
@@ -36,8 +52,6 @@ def build_graph(spark, sf_dir):
 
 
 def main() -> None:
-    from pyspark.sql import functions as F
-
     from libgrape_lite_spark import get_spark
     from libgrape_lite_spark.operators import bfs, cdlp, lcc, pagerank, sssp, wcc
 
@@ -48,34 +62,59 @@ def main() -> None:
     )
     spark.sparkContext.setLogLevel("ERROR")
 
+    wall_start = time.time()
     t0 = time.time()
     vertices, edges = build_graph(spark, SF_DIR)
     n_vertices = vertices.count()
     n_edges = edges.count()
 
-    from libgrape_lite_spark.plans.kernels import cached_edge_balanced_bounds
+    from libgrape_lite_spark.plans.kernels import prepare_graph
     from libgrape_lite_spark.session import tune_shuffle_partitions
 
     shuffle_parts = tune_shuffle_partitions(spark, 2 * n_edges, max_partitions=CPUS)
-    # fragment bounds belong to the graph, not the operator: one
-    # approxQuantile pass here (next to the counts) feeds every auto-impl
-    # call below via the per-table memo
-    cached_edge_balanced_bounds(edges, shuffle_parts, key="src")
+    # PrepareToRunApp-once: ALL shared layouts (bounds, PIE fragment,
+    # push x2, gather x2, degree, CDLP kernel) are built here, inside the
+    # timed build step, so every per-operator time below measures
+    # supersteps only and comparisons are order-independent.
+    t_prep0 = time.time()
+    prepare_graph(vertices, edges, num_fragments=shuffle_parts, kernel=True)
+    t_prep = time.time() - t_prep0
     t_build = time.time() - t0
 
     source_id = (
         vertices.orderBy("id").limit(1).collect()[0]["id"]
     )
 
-    timings: dict[str, float] = {"graph_build": round(t_build, 3)}
+    timings: dict[str, float] = {
+        "graph_build": round(t_build, 3),
+        "prep_tables": round(t_prep, 3),  # informational subset of graph_build
+    }
 
     def timed(name, fn):
         t = time.time()
         df = fn()
         df.count()  # force full evaluation
-        timings[name] = round(time.time() - t, 3)
+        dt = time.time() - t
+        timings[name] = round(dt, 3)
+        return dt
 
-    timed("pagerank", lambda: pagerank(vertices, edges, max_rounds=PR_ROUNDS))
+    # headline: median of three back-to-back runs (all warm — prep tables
+    # were built in graph_build; raw triple recorded)
+    pr_runs = []
+    for i in range(PR_REPEATS):
+        pr_runs.append(
+            round(
+                timed(
+                    f"pagerank_run{i}",
+                    lambda: pagerank(vertices, edges, max_rounds=PR_ROUNDS),
+                ),
+                3,
+            )
+        )
+    for i in range(PR_REPEATS):
+        timings.pop(f"pagerank_run{i}", None)
+    pr_sec = statistics.median(pr_runs)
+    timings["pagerank"] = pr_sec
 
     # convergence-mode PR (the metric's "to 1e-6 convergence" clause)
     from libgrape_lite_spark.plans.superstep import IterationDriver
@@ -91,13 +130,14 @@ def main() -> None:
     timed("wcc_dataframe", lambda: wcc(vertices, edges, impl="dataframe"))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("cdlp_kernel", lambda: cdlp(vertices, edges, max_rounds=10, impl="kernel"))
-    timed("bfs", lambda: bfs(vertices, edges, source=source_id))  # default impl=auto (PIE)
-    timed("bfs_push", lambda: bfs(vertices, edges, source=source_id, impl="dataframe"))
+    # default impl = dataframe (push) since r05 — won all three committed
+    # fair-protocol runs; bfs_auto keeps the PIE impl on record
+    timed("bfs", lambda: bfs(vertices, edges, source=source_id))
+    timed("bfs_auto", lambda: bfs(vertices, edges, source=source_id, impl="auto"))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))
     timed("sssp_auto", lambda: sssp(vertices, edges, source=source_id, impl="auto"))
     timed("lcc", lambda: lcc(vertices, edges))
 
-    pr_sec = timings["pagerank"]
     # undirected doubling ⇒ 2E edge traversals per superstep
     edges_per_sec = (2 * n_edges * PR_ROUNDS) / pr_sec if pr_sec > 0 else 0.0
 
@@ -109,6 +149,7 @@ def main() -> None:
         "sf": SF_DIR,
         "n_vertices": n_vertices,
         "n_edges": n_edges,
+        "pagerank_runs_sec": pr_runs,
         "pr_supersteps_per_sec": round(PR_ROUNDS / pr_sec, 3) if pr_sec else 0.0,
         "pr_rounds_to_1e6": conv_rounds,
         "pr_conv_supersteps_per_sec": round(
@@ -125,6 +166,22 @@ def main() -> None:
         from scripts.bench_scaling import measure_scaling
 
         out["scaling"] = measure_scaling()
+
+    # raw-run record (machine clock; record hygiene — every number quoted
+    # in BENCH/BASELINE.md must cite one of these committed files)
+    raw = dict(out)
+    raw["wall_clock_start_epoch"] = round(wall_start, 3)
+    raw["wall_clock_end_epoch"] = round(time.time(), 3)
+    try:
+        raw["loadavg_at_end"] = os.getloadavg()
+    except OSError:
+        pass
+    try:
+        RUNS_DIR.mkdir(parents=True, exist_ok=True)
+        run_file = RUNS_DIR / f"bench_{int(wall_start)}.json"
+        run_file.write_text(json.dumps(raw, indent=1) + "\n")
+    except OSError:
+        pass  # read-only checkout: stdout line is still the contract
 
     print(json.dumps(out))
 

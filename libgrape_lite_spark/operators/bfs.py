@@ -46,7 +46,7 @@ def bfs(
     directed: bool = False,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
-    impl: str = "auto",
+    impl: str = "dataframe",
     num_fragments: int | None = None,
     broadcast_rows: int = 1_000_000,
     dense_fraction: float = 0.05,
@@ -54,19 +54,15 @@ def bfs(
 ) -> DataFrame:
     """Returns DataFrame(id: long, depth: long); unreached depth = int64 max.
 
-    ``impl="auto"`` (default, like :func:`wcc`) — bfs_auto parity
-    (bfs_auto.h: depth is the unit-weight shortest distance, same fixpoint
-    as level-synchronous BFS): range-partitioned fragments settle their
-    local levels in one superstep via the Bellman-Ford kernel with w=1;
-    global rounds count cross-fragment hops — the win on deep chains (a
-    61-level directed reply chain takes 61 frontier rounds but ~2-3 auto
-    supersteps), and the measured winner on the chain-heavy transcript
-    graph under equal conditions (sf0.1, shared prep tables warm,
-    alternating runs: auto 3.9-4.0 s vs push 4.7-4.8 s; single
-    bench-order runs vary ±1.5 s with JVM pressure).
-    ``"dataframe"`` is the frontier push — cheaper per round when
-    frontiers are tiny relative to the graph — with two guard rails for
-    the non-tiny case:
+    ``impl="dataframe"`` (default) is the frontier push — cheaper per
+    round when frontiers are tiny relative to the graph. Default settled
+    on the round-5 fixed bench protocol (all shared prep tables prebuilt
+    in graph_build, so both impls measure supersteps only): push won all
+    three committed runs at sf0.1 — 5.71/6.33/5.22 s vs auto's
+    7.11/11.46/6.24 s (BENCH/runs/bench_1786961{703,831,975}.json). Deep or dense
+    graphs are covered by the direction switch below, which hands the
+    remaining levels to the same PIE kernel auto uses. Two guard rails
+    for the non-tiny case:
 
     * a per-round frontier delta joins via **broadcast only below
       ``broadcast_rows``**; a dense round's delta (O(V) on low-diameter
@@ -79,6 +75,13 @@ def bfs(
       the Spark rendition of the reference's top-down → bottom-up direction
       switch (bfs.h:126-178): both trade per-edge frontier work for a
       whole-graph dense pass once the frontier stops being sparse.
+
+    ``impl="auto"`` — bfs_auto parity (bfs_auto.h: depth is the
+    unit-weight shortest distance, same fixpoint): range-partitioned
+    fragments settle their local levels in one superstep via the
+    Bellman-Ford kernel with w=1; global rounds count cross-fragment
+    hops. Identical output (golden-verified); pick it explicitly for
+    graphs whose diameter is large relative to the fragment count.
     """
     if impl not in ("dataframe", "auto"):
         raise ValueError(f"impl must be dataframe|auto, got {impl!r}")

@@ -30,7 +30,6 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
@@ -57,39 +56,23 @@ def cdlp(
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
-        from libgrape_lite_spark.plans.kernels import cached_prepared
-
         # keep parallel edges — multiplicity affects the vote
         # (cdlp_utils.h:31-33); gather joins on dst each round, so
         # pre-partition the edge side once — the table is memoized per
-        # edge table and SHARED with pagerank_local (identical layout)
-        def _doubled() -> DataFrame:
-            return (
-                edges.select("src", "dst")
-                if directed
-                else undirected(edges.select("src", "dst"))
-            )
-
+        # edge table and SHARED with pagerank_local (identical layout;
+        # plans/kernels.py gather_adjacency_table)
         if impl == "kernel":
             from libgrape_lite_spark.plans.kernels import (
+                dst_kernel_adjacency_table,
                 gather_label_counts,
-                partition_edges,
             )
 
             nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-            adj = cached_prepared(
-                edges,
-                ("gather_dst_kernel", nf, directed),
-                lambda: partition_edges(_doubled(), nf, key="dst").localCheckpoint(
-                    eager=True
-                ),
-            )
+            adj = dst_kernel_adjacency_table(edges, nf, directed)
         else:
-            adj = cached_prepared(
-                edges,
-                ("gather_dst", directed),
-                lambda: _doubled().repartition("dst").localCheckpoint(eager=True),
-            )
+            from libgrape_lite_spark.plans.kernels import gather_adjacency_table
+
+            adj = gather_adjacency_table(edges, "dst", directed)
 
         resumed = drv.latest_checkpoint()
         if resumed is not None:

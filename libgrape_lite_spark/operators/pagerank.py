@@ -118,25 +118,12 @@ def pagerank(
             # pre-partition by the gather join key once — shared across
             # pagerank calls on this edge table (fixed-round + convergence
             # runs build it once); supersteps then shuffle only
-            # vertex-sized data (state join + groupBy combine).
-            # Serialized storage: the pinned adjacency is the biggest cached
-            # table and is scanned once per round — packing it into byte
-            # arrays (instead of one UnsafeRow object per edge) cuts
-            # executor GC, which on low-core executors runs on the task's
-            # own pinned CPUs (event-log measured: GC was 22% of task time).
-            from pyspark.storagelevel import StorageLevel
+            # vertex-sized data (state join + groupBy combine). Layout +
+            # serialized-storage rationale: plans/kernels.py
+            # gather_adjacency_table.
+            from libgrape_lite_spark.plans.kernels import gather_adjacency_table
 
-            def _build_gather_adj() -> DataFrame:
-                a = (
-                    edges.select("src", "dst")
-                    if directed
-                    else undirected(edges.select("src", "dst"))
-                )
-                return a.repartition("src").localCheckpoint(
-                    eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
-                )
-
-            adj = cached_prepared(edges, ("pr_gather_src", directed), _build_gather_adj)
+            adj = gather_adjacency_table(edges, "src", directed)
 
         n = vertices.count()
         p = 1.0 / n
@@ -281,18 +268,13 @@ def pagerank_local(
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
-        from libgrape_lite_spark.plans.kernels import cached_degree_table, cached_prepared
-
-        def _build_local_adj() -> DataFrame:
-            a = (
-                edges.select("src", "dst")
-                if directed
-                else undirected(edges.select("src", "dst"))
-            )
-            return a.repartition("dst").localCheckpoint(eager=True)
+        from libgrape_lite_spark.plans.kernels import (
+            cached_degree_table,
+            gather_adjacency_table,
+        )
 
         # same layout CDLP gathers over — one shared cache entry
-        adj = cached_prepared(edges, ("gather_dst", directed), _build_local_adj)
+        adj = gather_adjacency_table(edges, "dst", directed)
         # parallel edges count (GetLocalOutDegree); memoized per graph —
         # degree is layout-invariant, so this shares pagerank's entry
         deg = cached_degree_table(edges, vertices, adj, directed)

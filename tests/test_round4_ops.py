@@ -132,7 +132,7 @@ def test_prepared_tables_shared_across_operators(spark):
     assert r_pr == r_pr2  # cached adjacency + degree table reused bit-stably
     cache = getattr(e, _PREP_CACHE_ATTR)
     assert any(k[0] == "pie" for k in cache)      # wcc/bfs/sssp share this
-    assert ("pr_gather_src", False) in cache
+    assert ("gather", "src", False) in cache
     assert ("outdeg", False) in cache
 
     # fresh objects (no cache) must agree exactly
