@@ -42,6 +42,9 @@ def cdlp(
     driver: IterationDriver | None = None,
     impl: str = "dataframe",
     num_fragments: int | None = None,
+    hub_salts: int | str = "auto",
+    hub_degree_factor: float = 8.0,
+    min_hub_degree: int = 1_000_000,
 ) -> DataFrame:
     """Returns DataFrame(id: long, label: long).
 
@@ -49,13 +52,48 @@ def cdlp(
     (voter, label) pairs, plans/kernels.py::gather_label_counts); only
     partial counts shuffle. ``"dataframe"`` (default) — join + two-level
     aggregate.
+
+    ``hub_salts`` — hub-skew protection behind the SAME auto detection
+    PageRank uses (plans/kernels.py::hub_salt_verdict, reading the
+    per-graph memoized degree stats — zero extra jobs after the first
+    operator on a graph). When engaged: the dataframe path counts votes
+    two-level, per (voter, label, salt-of-dst) then per (voter, label) —
+    sum of counts is associative, identical result; the kernel path swaps
+    in the salted fragment layout (a hub dst's edges spread over ~salts
+    fragments, labels replicated to match — a hub dst is otherwise ONE
+    cogroup key and its whole adjacency lands on one task). Verdict at
+    ``driver.info["cdlp_hub_salts"]``.
     """
     if impl not in ("dataframe", "kernel"):
         raise ValueError(f"impl must be dataframe|kernel, got {impl!r}")
+    if not (hub_salts == "auto" or isinstance(hub_salts, int)):
+        raise ValueError(f"hub_salts must be an int or 'auto', got {hub_salts!r}")
     spark = vertices.sparkSession
     drv = driver or IterationDriver(spark)
 
     with static_plans(spark):
+        from libgrape_lite_spark.plans.kernels import (
+            cached_degree_stats,
+            gather_adjacency_table,
+            hub_salt_verdict,
+        )
+
+        if hub_salts == "auto":
+            # degree stats come from the shared per-graph memo (one
+            # aggregate per graph, shared with pagerank); the degree input
+            # is layout-invariant, so a plain doubled projection suffices —
+            # no pinned layout is forced just for detection
+            from libgrape_lite_spark.functions.edges import undirected
+
+            e = edges.select("src", "dst")
+            _, max_deg, sum_deg = cached_degree_stats(
+                edges, vertices, e if directed else undirected(e), directed
+            )
+            hub_salts = hub_salt_verdict(
+                spark, max_deg, sum_deg, hub_degree_factor, min_hub_degree
+            )
+        drv.info["cdlp_hub_salts"] = hub_salts
+
         # keep parallel edges — multiplicity affects the vote
         # (cdlp_utils.h:31-33); gather joins on dst each round, so
         # pre-partition the edge side once — the table is memoized per
@@ -68,10 +106,9 @@ def cdlp(
             )
 
             nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-            adj = dst_kernel_adjacency_table(edges, nf, directed)
+            k_salts = max(1, hub_salts)
+            adj = dst_kernel_adjacency_table(edges, nf, directed, salts=k_salts)
         else:
-            from libgrape_lite_spark.plans.kernels import gather_adjacency_table
-
             adj = gather_adjacency_table(edges, "dst", directed)
 
         resumed = drv.latest_checkpoint()
@@ -86,7 +123,23 @@ def cdlp(
             step += 1
             # gather over out-adjacency: vertex u sees labels of its out-nbrs
             if impl == "kernel":
-                counts = gather_label_counts(adj, state, "label", nf)
+                counts = gather_label_counts(adj, state, "label", nf, salts=k_salts)
+            elif hub_salts > 0:
+                # two-level vote count: per (voter, label, salt-of-dst)
+                # partials first, spreading a hub voter's rows over
+                # hub_salts reducers, then the exact per-(voter, label)
+                # sum — count is associative, identical result
+                counts = (
+                    adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")
+                    .groupBy(
+                        F.col("src").alias("id"),
+                        "label",
+                        F.pmod(F.hash("dst"), F.lit(hub_salts)).alias("_salt"),
+                    )
+                    .agg(F.count(F.lit(1)).alias("pc"))
+                    .groupBy("id", "label")
+                    .agg(F.sum("pc").alias("cnt"))
+                )
             else:
                 counts = (
                     adj.join(state.select(F.col("id").alias("dst"), "label"), "dst")

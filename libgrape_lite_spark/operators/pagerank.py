@@ -142,23 +142,17 @@ def pagerank(
             state, step = resumed
         else:
             state = drv.materialize(state, step)
-        # one aggregate pass yields the dangling count AND the degree stats
-        # the auto hub-salt decision needs (replaces the former
-        # dangling-only count — no extra job for detection)
-        stats = state.agg(
-            F.count(F.when(F.col("degree") == 0, True)).alias("nd"),
-            F.max("degree").alias("md"),
-            F.sum("degree").alias("sd"),
-        ).collect()[0]
-        n_dangling = stats["nd"]
+        # one aggregate pass PER GRAPH (memoized) yields the dangling count
+        # AND the degree stats the auto hub-salt decision needs
+        from libgrape_lite_spark.plans.kernels import cached_degree_stats, hub_salt_verdict
+
+        n_dangling, max_deg, sum_deg = cached_degree_stats(
+            edges, vertices, adj, directed
+        )
         if hub_salts == "auto":
-            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-            md, sd = stats["md"] or 0, stats["sd"] or 0
-            engaged = (
-                md > hub_degree_factor * sd / max(parts, 1)
-                and md >= min_hub_degree
+            hub_salts = hub_salt_verdict(
+                spark, max_deg, sum_deg, hub_degree_factor, min_hub_degree
             )
-            hub_salts = parts if engaged else 0
         drv.info["pagerank_hub_salts"] = hub_salts
         dangling_sum = p * n_dangling
         # replay the driver-side scalar recurrence up to the resumed superstep

@@ -282,6 +282,7 @@ def gather_label_counts(
     state: DataFrame,
     label_col: str,
     num_fragments: int,
+    salts: int = 1,
 ) -> DataFrame:
     """CDLP's vote gather as a fragment kernel: for every edge (u→v), u
     receives one vote for label(v); per-fragment the kernel pre-counts
@@ -292,7 +293,15 @@ def gather_label_counts(
     (``partition_edges`` on the flipped table or
     ``pmod(hash(dst), P)``) so label lookups are fragment-local.
     Returns DataFrame(id, label, cnt).
-    """
+
+    ``salts > 1`` is the hub-skew variant: ``edges_p`` must then come from
+    :func:`dst_kernel_adjacency_table` with the same ``salts`` — a hub
+    dst's edges are spread over ~``salts`` fragments by a src-derived salt
+    instead of all landing in hash(dst)'s one — and the state side is
+    REPLICATED ``salts``× so every sub-fragment still resolves its dst
+    labels locally (the mirror-vertex trick, SURVEY.md §4.4: O(salts·V)
+    replicated state buys per-fragment edge balance). Identical results —
+    partial counts merge in the same final sum."""
 
     def kernel(key, edges_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
         if edges_pdf.empty or state_pdf.empty:
@@ -320,7 +329,23 @@ def gather_label_counts(
             {"id": uniq[:, 0], "label": uniq[:, 1], "cnt": counts.astype(np.int64)}
         )
 
-    state_p = partition_state(state.select("id", label_col), num_fragments)
+    base = state.select("id", label_col)
+    if salts > 1:
+        # replicate each vertex's label to every salted sub-fragment that
+        # may hold edges pointing at it: part = pmod(hash(id, j), P) for
+        # j in 0..salts-1 (matches dst_kernel_adjacency_table's
+        # pmod(hash(dst, salt), P) assignment)
+        state_p = (
+            base.withColumn(
+                "_j", F.explode(F.array(*[F.lit(j) for j in range(salts)]))
+            )
+            .withColumn(
+                "part", F.pmod(F.hash("id", F.col("_j")), F.lit(num_fragments))
+            )
+            .drop("_j")
+        )
+    else:
+        state_p = partition_state(base, num_fragments)
     partials = (
         edges_p.groupBy("part")
         .cogroup(state_p.groupBy("part"))
@@ -580,23 +605,40 @@ def gather_adjacency_table(
 
 
 def dst_kernel_adjacency_table(
-    edges: DataFrame, num_fragments: int, directed: bool = False
+    edges: DataFrame, num_fragments: int, directed: bool = False, salts: int = 1
 ) -> DataFrame:
     """The cogroup-kernel analog of the ``key="dst"`` gather layout:
     doubled, parallel edges kept, fragment-assigned by hash(dst) and
-    co-located (CDLP kernel impl's vote gather)."""
+    co-located (CDLP kernel impl's vote gather).
+
+    ``salts > 1``: hub-skew layout — the fragment is chosen by
+    ``pmod(hash(dst, salt), P)`` with ``salt = pmod(hash(src), salts)``,
+    so a hub dst's edges spread over ~``salts`` fragments instead of one
+    cogroup key; pair with :func:`gather_label_counts` at the same
+    ``salts`` (which replicates the state side to match)."""
 
     def build() -> DataFrame:
         from libgrape_lite_spark.functions.edges import undirected as _undirected
 
         e = edges.select("src", "dst")
         a = e if directed else _undirected(e)
+        if salts > 1:
+            withp = a.withColumn(
+                "part",
+                F.pmod(
+                    F.hash("dst", F.pmod(F.hash("src"), F.lit(salts))),
+                    F.lit(num_fragments),
+                ),
+            )
+            return withp.repartition(num_fragments, "part").localCheckpoint(
+                eager=True
+            )
         return partition_edges(a, num_fragments, key="dst").localCheckpoint(
             eager=True
         )
 
     return cached_prepared(
-        edges, ("gather_dst_kernel", num_fragments, directed), build
+        edges, ("gather_dst_kernel", num_fragments, directed, salts), build
     )
 
 
@@ -624,6 +666,58 @@ def cached_degree_table(
     else:
         cache.move_to_end(key)
     return ent[1]
+
+
+_DEGREE_STATS_ATTR = "_lgls_degree_stats"
+
+
+def cached_degree_stats(
+    edges: DataFrame, vertices: DataFrame, adj: DataFrame, directed: bool
+) -> tuple[int, int, int]:
+    """``(n_dangling, max_degree, sum_degree)`` of the graph, computed once
+    per (edge table, vertices object, direction) from
+    :func:`cached_degree_table` and memoized as plain ints — the inputs to
+    both PageRank's dangling-mass scalar and every operator's auto
+    hub-skew detection. One aggregate job per graph, not per operator
+    call (the reference computes dangling/degree stats once in PEval,
+    pagerank.h:83-88)."""
+    memo = getattr(edges, _DEGREE_STATS_ATTR, None)
+    if memo is None:
+        memo = {}
+        setattr(edges, _DEGREE_STATS_ATTR, memo)
+    ent = memo.get(directed)
+    if ent is None or ent[0] is not vertices:
+        deg = cached_degree_table(edges, vertices, adj, directed)
+        row = deg.agg(
+            F.count(F.when(F.col("degree") == 0, True)).alias("nd"),
+            F.max("degree").alias("md"),
+            F.sum("degree").alias("sd"),
+        ).collect()[0]
+        ent = (vertices, (row["nd"] or 0, row["md"] or 0, row["sd"] or 0))
+        memo[directed] = ent
+    return ent[1]
+
+
+def hub_salt_verdict(
+    spark,
+    max_degree: int,
+    sum_degree: int,
+    hub_degree_factor: float,
+    min_hub_degree: int,
+) -> int:
+    """The shared auto hub-salting decision (SURVEY.md §4.4): engage — with
+    ``shuffle.partitions`` salts — when the max degree exceeds BOTH
+    ``hub_degree_factor``× the mean per-partition edge share (relative
+    skew: one vertex out-weighs whole fragments) and ``min_hub_degree``
+    (absolute floor: below ~10^6 messages per hub, map-side partial
+    aggregation alone absorbs the skew and the extra pass would only
+    cost). Returns the salt count (0 = off)."""
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    engaged = (
+        max_degree > hub_degree_factor * sum_degree / max(parts, 1)
+        and max_degree >= min_hub_degree
+    )
+    return parts if engaged else 0
 
 
 def pie_fragment_table(

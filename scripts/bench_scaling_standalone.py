@@ -184,6 +184,23 @@ def main() -> None:
         ctrl = measure(n, half, _pins(half, 1), _pins(half, 4))
         print(json.dumps({"protocol": f"1x{half} vs 4x{half} executors (control)", **ctrl}, indent=2))
 
+    # raw-run record first (record hygiene: every number quoted in
+    # BENCH/BASELINE.md must cite a committed machine-clock artifact)
+    raw = {
+        "script": "bench_scaling_standalone.py",
+        "n_conversations": n,
+        "cores_each": cores_each,
+        "full": full,
+        "control": ctrl,
+        "wall_clock_end_epoch": round(time.time(), 3),
+        "loadavg_at_end": list(os.getloadavg()),
+    }
+    runs_dir = REPO / "BENCH" / "runs"
+    runs_dir.mkdir(parents=True, exist_ok=True)
+    (runs_dir / f"scaling_{int(time.time())}.json").write_text(
+        json.dumps(raw, indent=1) + "\n"
+    )
+
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
     bench_md = REPO / "BENCH" / "BASELINE.md"
     ce = cores_each

@@ -142,3 +142,87 @@ def test_degree_table_supersede_unpersists_old(spark):
     assert _is_cached(d2)
     assert not _is_cached(d1)  # superseded entry released
     assert as_dict(d2) == {1: 1, 2: 2, 3: 1, 4: 0}
+
+
+# --------------------------------------------- CDLP auto hub-salting
+def _power_law_graph(spark, n_leaves=200, extra=()):
+    """A hub (vertex 0) whose degree out-weighs whole fragments, plus a
+    few community edges so labels actually propagate and parallel edges
+    exercise the vote multiplicity."""
+    pairs = [(0, i) for i in range(1, n_leaves + 1)]
+    pairs += [(1, 2), (1, 2), (2, 3), (5, 6)]  # incl. a parallel edge
+    pairs += list(extra)
+    v = make_vertices(spark, range(n_leaves + 1))
+    return v, make_edges(spark, pairs)
+
+
+def test_cdlp_auto_hub_salting_dataframe(spark):
+    """VERDICT r4 #7 (dataframe path): with thresholds scaled to the
+    fixture, CDLP's auto detection must engage (driver.info) and the
+    two-level salted vote count must produce labels identical to the
+    unsalted run — count is associative, salting is plan-only."""
+    from libgrape_lite_spark.operators import cdlp
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    v, e = _power_law_graph(spark)
+    drv = IterationDriver(spark)
+    salted = as_dict(
+        cdlp(v, e, max_rounds=4, driver=drv, hub_degree_factor=1.0, min_hub_degree=0)
+    )
+    assert drv.info["cdlp_hub_salts"] > 0  # auto-engaged
+    plain = as_dict(cdlp(v, e, max_rounds=4, hub_salts=0))
+    assert salted == plain
+
+
+def test_cdlp_auto_hub_salting_kernel(spark):
+    """VERDICT r4 #7 (kernel path): a hub dst is one cogroup key in the
+    plain layout; the salted layout spreads its edges over ~salts
+    fragments with labels replicated to match — identical labels."""
+    from libgrape_lite_spark.operators import cdlp
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    v, e = _power_law_graph(spark)
+    drv = IterationDriver(spark)
+    salted = as_dict(
+        cdlp(
+            v, e, max_rounds=4, impl="kernel", driver=drv,
+            hub_degree_factor=1.0, min_hub_degree=0,
+        )
+    )
+    assert drv.info["cdlp_hub_salts"] > 0
+    plain = as_dict(cdlp(v, e, max_rounds=4, impl="kernel", hub_salts=0))
+    assert salted == plain
+
+
+def test_cdlp_hub_salting_stays_off_without_skew(spark):
+    """Default thresholds: a skew-free chain must NOT engage (the extra
+    pass would only cost); explicit int hub_salts is honored as-is."""
+    from libgrape_lite_spark.operators import cdlp
+    from libgrape_lite_spark.plans.superstep import IterationDriver
+
+    v = make_vertices(spark, range(10))
+    e = make_edges(spark, [(i, i + 1) for i in range(9)])
+    drv = IterationDriver(spark)
+    r_auto = as_dict(cdlp(v, e, max_rounds=3, driver=drv))
+    assert drv.info["cdlp_hub_salts"] == 0
+    # explicit salted runs agree on both paths even when detection is off
+    assert as_dict(cdlp(v, e, max_rounds=3, hub_salts=4)) == r_auto
+    assert as_dict(cdlp(v, e, max_rounds=3, impl="kernel", hub_salts=4)) == r_auto
+
+
+def test_degree_stats_memoized_per_graph(spark):
+    """cached_degree_stats: one aggregate per (graph, vertices, direction)
+    — PageRank and CDLP detection share it; values are exact."""
+    from libgrape_lite_spark.functions.edges import undirected
+    from libgrape_lite_spark.plans.kernels import cached_degree_stats
+
+    v = make_vertices(spark, range(5))
+    e = make_edges(spark, [(0, 1), (0, 2), (0, 3), (1, 2)])
+    doubled = undirected(e.select("src", "dst"))
+    nd, md, sd = cached_degree_stats(e, v, doubled, False)
+    # doubled degrees: 0→3, 1→2, 2→2, 3→1, 4→0 (dangling)
+    assert (nd, md, sd) == (1, 3, 8)
+    # second call returns the memoized tuple (same object identity)
+    assert cached_degree_stats(e, v, doubled, False) is not None
+    memo = getattr(e, "_lgls_degree_stats")
+    assert memo[False][1] == (1, 3, 8)
