@@ -257,6 +257,66 @@ def make_batch_processor(
     return process_batch
 
 
+def parse_sampler_messages(raw: DataFrame) -> DataFrame:
+    """Parse the reference's Kafka line protocol into the interleaved
+    ``(kind, src, dst, weight)`` schema :func:`stream_khop_sampler`
+    consumes (kafka_consumer.h:104: ``e src dst w`` edge updates and
+    ``q v`` queries on one topic).
+
+    ``raw`` needs only a ``value`` column (bytes or string — the Kafka
+    source's shape); works identically on streaming and batch frames, so
+    the broker parse path is unit-testable without a broker. Malformed
+    lines (unknown kind, non-numeric ids) are dropped, matching the
+    reference consumer's skip-on-parse-failure. Edge lines default a
+    missing weight to 1.0; query lines carry the root in ``src``."""
+    # try_element_at / try_cast: short or malformed lines yield NULLs that
+    # the filter below drops (ANSI-mode-safe — element_at/cast would throw)
+    toks = F.split(F.trim(F.col("value").cast("string")), " +")
+    kind = F.try_element_at(toks, F.lit(1))
+    src = F.try_element_at(toks, F.lit(2)).try_cast("long")
+    dst = F.try_element_at(toks, F.lit(3)).try_cast("long")
+    w = F.try_element_at(toks, F.lit(4)).try_cast("double")
+    return (
+        raw.select(
+            kind.alias("kind"),
+            src.alias("src"),
+            F.when(kind == "e", dst).alias("dst"),
+            F.when(kind == "e", F.coalesce(w, F.lit(1.0)))
+            .otherwise(F.lit(1.0))
+            .alias("weight"),
+        )
+        .where(
+            (F.col("kind") == "q") & F.col("src").isNotNull()
+            | (F.col("kind") == "e") & F.col("src").isNotNull() & F.col("dst").isNotNull()
+        )
+    )
+
+
+def kafka_edge_stream(
+    spark,
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """The production source seam: ``readStream.format("kafka")`` +
+    :func:`parse_sampler_messages` — drop-in replacement for the file
+    source used in-sandbox; the downstream processor is byte-identical.
+
+    Requires the Kafka connector on the session's classpath
+    (``spark-submit --packages org.apache.spark:spark-sql-kafka-0-10_2.13:<spark-version>``).
+    Pair with ``stream_khop_sampler(..., trigger={"availableNow": True})``
+    to drain a bounded topic (e.g. the seam test) or a processingTime
+    trigger for continuous serving."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return parse_sampler_messages(raw)
+
+
 def stream_khop_sampler(
     spark,
     edge_stream: DataFrame,
