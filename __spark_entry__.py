@@ -234,6 +234,19 @@ def _q_simhash(spark, sf_dir):
     return _docs(spark, sf_dir).select("doc_id", simhash16(F.col("text")).alias("simhash"))
 
 
+def _q_dedup_simhash(spark, sf_dir):
+    """Banded SimHash near-dup pairs (operators/dedup.py::dedup_simhash).
+    16-bit signatures here so the DuckDB mirror shares the simhash
+    oracle's bit arithmetic; bands = max_hamming+1 = 3 (the pigeonhole-
+    complete round-5 default — the SQL reproduces the same [6,5,5]-bit
+    band split and the exact bit_count verify)."""
+    from libgrape_lite_spark.operators.dedup import dedup_simhash
+
+    return dedup_simhash(_docs(spark, sf_dir), max_hamming=2, bits=16).select(
+        "a", "b", F.col("hamming").cast("long").alias("hamming")
+    )
+
+
 def _q_embedding_topk(spark, sf_dir):
     from libgrape_lite_spark.operators.knn import knn_bruteforce
 
@@ -341,6 +354,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": _q_jaccard_pairs,
         "dedup_minhash": _q_dedup_minhash,
         "simhash": _q_simhash,
+        "dedup_simhash": _q_dedup_simhash,
         "embedding_topk": _q_embedding_topk,
         "embedding_topk_lsh": _q_embedding_topk_lsh,
         "knn_ivf": _q_knn_ivf,
@@ -675,6 +689,36 @@ SELECT doc_id,
 FROM bits GROUP BY doc_id"""
 
 
+def _sql_dedup_simhash() -> str:
+    """Mirrors operators/dedup.py::dedup_simhash at bits=16, max_hamming=2,
+    bands=3: same signature CTE as _sql_simhash, band split [6,5,5] bits
+    (divmod(16,3) with the remainder on the first band), pigeonhole
+    candidate join, exact bit_count(xor) verify."""
+    h = _H64.format(expr="t")
+    return f"""WITH td AS (
+  SELECT doc_id,
+         list_distinct(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t <> '')) AS tk
+  FROM documents),
+th AS (SELECT doc_id, {h} AS h FROM (SELECT doc_id, unnest(tk) AS t FROM td)),
+bits AS (
+  SELECT doc_id, j, SUM(((h >> j) & 1) * 2 - 1) AS sgn
+  FROM th, (SELECT unnest(range(0, 16)) AS j) r GROUP BY 1, 2),
+sh AS (
+  SELECT doc_id, CAST(SUM(CASE WHEN sgn > 0 THEN 1 << j ELSE 0 END) AS BIGINT) AS sh
+  FROM bits GROUP BY doc_id),
+banded AS (
+  SELECT doc_id,
+         b.band,
+         CASE b.band WHEN 0 THEN sh & 63 WHEN 1 THEN (sh >> 6) & 31 ELSE (sh >> 11) & 31 END AS key
+  FROM sh, (SELECT unnest(range(0, 3)) AS band) b),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+  FROM banded l JOIN banded r ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+SELECT c.a, c.b, CAST(bit_count(xor(sa.sh, sb.sh)) AS BIGINT) AS hamming
+FROM cand c JOIN sh sa ON sa.doc_id = c.a JOIN sh sb ON sb.doc_id = c.b
+WHERE bit_count(xor(sa.sh, sb.sh)) <= 2"""
+
+
 def _sql_embedding_topk() -> str:
     return """WITH q AS (
   SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id < 10),
@@ -907,6 +951,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": _sql_jaccard_pairs(),
         "dedup_minhash": _sql_dedup_minhash(),
         "simhash": _sql_simhash(),
+        "dedup_simhash": _sql_dedup_simhash(),
         "embedding_topk": _sql_embedding_topk(),
         "embedding_topk_lsh": _sql_embedding_topk_lsh(),
         "knn_ivf": _sql_knn_ivf(),

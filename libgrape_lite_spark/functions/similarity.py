@@ -89,6 +89,45 @@ def simhash16(text: Column) -> Column:
     return out.cast("long")
 
 
+def simhash_bits(text: Column, bits: int = 64) -> Column:
+    """``bits``-wide SimHash over distinct whitespace tokens (Charikar
+    SimHash as used for web-scale dedup, Manku et al. WWW'07): bit j is 1
+    iff Σ_tokens (2·bit_j(h64(token)) − 1) > 0. Same tokenization, hash
+    family, and tie rule as :func:`simhash16` (bit-identical for
+    ``bits=16`` — pytest-verified), but computed in ONE pass over the
+    token array with an array-of-counters accumulator instead of one
+    ``aggregate`` per bit — the codegen stays linear in ``bits``, which
+    is what makes 64-bit signatures practical. 64 bits are what the
+    banded near-dup join needs at corpus scale: 16-bit signatures give
+    only 2^8-sized half-buckets, whose pair join is quadratic in
+    C/256 (see operators/dedup.py::dedup_simhash)."""
+    toks = F.array_distinct(tokens(F.lower(text)))
+    hashes = F.transform(toks, h64)
+    # literal per-bit masks (bit 63's mask is the sign bit, -2^63) — shift
+    # amounts must be literals in Spark SQL, masks need not
+    masks = F.array(
+        *[F.lit((1 << j) if j < 63 else -(1 << 63)) for j in range(bits)]
+    )
+    counters = F.aggregate(
+        hashes,
+        F.transform(masks, lambda m: F.lit(0)),
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda c, m: c + F.when(h.bitwiseAND(m) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            counters,
+            masks,
+            lambda c, m: F.when(c > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s.bitwiseOR(v),
+    )
+
+
 def dot(a: Column, b: Column) -> Column:
     """Σ a[i]*b[i] in array order (JVM fold — matches DuckDB's
     list_dot_product accumulation order on doubles)."""

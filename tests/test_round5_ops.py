@@ -226,3 +226,78 @@ def test_degree_stats_memoized_per_graph(spark):
     assert cached_degree_stats(e, v, doubled, False) is not None
     memo = getattr(e, "_lgls_degree_stats")
     assert memo[False][1] == (1, 3, 8)
+
+
+# --------------------------------------------- banded SimHash (64-bit)
+def test_simhash_bits_16_matches_simhash16(spark):
+    """simhash_bits is the one-pass generalization of simhash16: same
+    tokenization, hash family, and tie rule - bit-identical at bits=16
+    (the DuckDB oracle keeps mirroring simhash16)."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.similarity import simhash16, simhash_bits
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "pack my box with five dozen liquor jugs"),
+            (3, "the quick brown fox jumps over the lazy cat"),
+            (4, "Sphinx of black quartz judge my vow"),
+            (5, "a"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = docs.select(
+        simhash16(F.col("text")).alias("s16"),
+        simhash_bits(F.col("text"), 16).alias("sb"),
+    ).collect()
+    for r in rows:
+        assert r["s16"] == r["sb"]
+
+
+def _hamming(a: int, b: int) -> int:
+    return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+
+def test_dedup_simhash_banded_complete_vs_bruteforce(spark):
+    """Pigeonhole completeness: with bands = max_hamming + 1 (the fixed
+    default - the old two-half variant guaranteed only Hamming <= 1), the
+    banded join must return EXACTLY the pairs a brute-force all-pairs
+    Hamming scan finds, at 64-bit default and at 16-bit/3-band."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.similarity import simhash_bits
+    from libgrape_lite_spark.operators.dedup import dedup_simhash
+
+    # deterministic corpus where near-dups differ by ONE REMOVED token
+    # from a 400-token base: each removal shifts every bit counter by -+1,
+    # so only counters sitting at the sign boundary flip — expected
+    # Hamming ~1-3 of 64, exactly the regime the banded join serves
+    # (a one-token SUBSTITUTION in a short doc flips far more bits)
+    vocab = [f"tok{i}" for i in range(100)]
+    rows = []
+    for i in range(12):
+        rows.append((i, " ".join(w for j, w in enumerate(vocab) if j != i)))
+    for i in range(12, 24):  # distant docs — must NOT pair up
+        rows.append((i, " ".join(f"z{i}x{j}" for j in range(50))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for bits, m in [(64, 3), (16, 2)]:
+        sigs = {
+            r["doc_id"]: r["sh"]
+            for r in docs.select(
+                "doc_id", simhash_bits(F.col("text"), bits).alias("sh")
+            ).collect()
+        }
+        want = {
+            (a, b): _hamming(sigs[a], sigs[b])
+            for a in sigs
+            for b in sigs
+            if a < b and _hamming(sigs[a], sigs[b]) <= m
+        }
+        got = {
+            (r["a"], r["b"]): r["hamming"]
+            for r in dedup_simhash(docs, max_hamming=m, bits=bits).collect()
+        }
+        assert got == want, f"bits={bits} max_hamming={m}"
+        assert any(0 < h for h in want.values())  # fixture has near-dups
