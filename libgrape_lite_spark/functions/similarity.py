@@ -39,20 +39,38 @@ def minhash_signatures(
     text_col: str = "text",
     num_hashes: int = 16,
     shingle_n: int = 3,
+    hash_fn: str = "h64",
 ) -> DataFrame:
     """(id, sig: array<long>) — DataFrame-level minhash.
 
     Plan: explode distinct shingles → ``groupBy(id).agg(min(h_i) ...)`` —
     one shuffle, each of the ``num_hashes`` mins partially aggregated
     map-side. Documents with no shingles are dropped (no signature).
+
+    ``hash_fn``: ``"h64"`` (default) is the portable md5-based family the
+    DuckDB oracle reproduces bit-for-bit; ``"xxhash64"`` is the scale
+    path — native, no digest-string round-trip. Measured at C=1M
+    (BENCH/runs/pipeline_17869657*.json vs _17869665*): dedup_simhash
+    90.1 → 52.8 s (hashing dominates there), dedup_minhash 232 → 185 s
+    (the 52M-row shingle explode + groupBy shuffle dominates, hashing is
+    only ~20%). Same minhash statistics, different (still deterministic)
+    signature values.
     """
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
-    mins = [
-        F.min(h64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
-        for i in range(num_hashes)
-    ]
+    if hash_fn == "xxhash64":
+        mins = [
+            F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    elif hash_fn == "h64":
+        mins = [
+            F.min(h64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
+            for i in range(num_hashes)
+        ]
+    else:
+        raise ValueError(f"hash_fn must be h64|xxhash64, got {hash_fn!r}")
     agg = ex.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 
@@ -89,7 +107,7 @@ def simhash16(text: Column) -> Column:
     return out.cast("long")
 
 
-def simhash_bits(text: Column, bits: int = 64) -> Column:
+def simhash_bits(text: Column, bits: int = 64, hash_fn: str = "h64") -> Column:
     """``bits``-wide SimHash over distinct whitespace tokens (Charikar
     SimHash as used for web-scale dedup, Manku et al. WWW'07): bit j is 1
     iff Σ_tokens (2·bit_j(h64(token)) − 1) > 0. Same tokenization, hash
@@ -101,8 +119,14 @@ def simhash_bits(text: Column, bits: int = 64) -> Column:
     banded near-dup join needs at corpus scale: 16-bit signatures give
     only 2^8-sized half-buckets, whose pair join is quadratic in
     C/256 (see operators/dedup.py::dedup_simhash)."""
+    if hash_fn not in ("h64", "xxhash64"):
+        raise ValueError(f"hash_fn must be h64|xxhash64, got {hash_fn!r}")
     toks = F.array_distinct(tokens(F.lower(text)))
-    hashes = F.transform(toks, h64)
+    # h64 (md5-based) mirrors the DuckDB oracle; xxhash64 is the native
+    # scale path (same one-pass shape, cheaper per token)
+    hashes = F.transform(
+        toks, h64 if hash_fn == "h64" else lambda t: F.xxhash64(t)
+    )
     # literal per-bit masks (bit 63's mask is the sign bit, -2^63) — shift
     # amounts must be literals in Spark SQL, masks need not
     masks = F.array(

@@ -43,6 +43,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     shingle_n: int = 3,
     bucket_cap: int | None = None,
+    hash_fn: str = "h64",
 ) -> DataFrame:
     """LSH candidate pairs (a, b) with a < b sharing ≥1 minhash band.
 
@@ -57,7 +58,7 @@ def minhash_lsh_candidates(
     (dedup_exact) is the right tool for them, not pairwise verification.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", "bk.band", "bk.key")
@@ -71,8 +72,11 @@ def minhash_lsh_candidates(
         banded = banded.join(keep, ["band", "key"])
     a = banded.select(F.col("id").alias("a"), "band", "key")
     b = banded.select(F.col("id").alias("b"), "band", "key")
+    # shuffle-hash hint: both sides are the full banded corpus — a
+    # mis-estimated broadcast of C x bands rows OOMs the driver at corpus
+    # scale (measured at C=1M); the hint pins the only plan that scales
     return (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("shuffle_hash"), ["band", "key"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b")
         .distinct()
@@ -88,16 +92,21 @@ def dedup_minhash(
     bands: int = 4,
     shingle_n: int = 3,
     bucket_cap: int | None = None,
+    hash_fn: str = "h64",
 ) -> DataFrame:
     """Near-dup pairs: LSH candidates verified by exact shingle Jaccard.
 
     Returns (a, b, jaccard ≥ threshold). The verify stage joins candidate
     pairs back to shingle sets — cost proportional to candidates, not n².
+    ``hash_fn="xxhash64"`` swaps the signature hashing to the native scale
+    path (see functions/similarity.py::minhash_signatures); the verify
+    stage is hash-agnostic, so accepted pairs change only where LSH
+    candidate recall differs at the threshold margin.
     """
     from libgrape_lite_spark.functions.text import shingles
 
     cands = minhash_lsh_candidates(
-        docs, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap
+        docs, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap, hash_fn
     )
     sh = docs.select(
         F.col(id_col).alias("id"),
@@ -106,13 +115,14 @@ def dedup_minhash(
     # Candidate-bounded verify: join the (few) candidate pairs to per-doc
     # shingle arrays and intersect in place (array_intersect, JVM-side) —
     # cost is O(candidates × avg shingles), never the co-shingle self-join.
+    # the shingle side is O(corpus) rows of arrays — never broadcast it
     verified = (
         cands.join(
-            sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na")),
+            sh.select(F.col("id").alias("a"), F.col("sh").alias("sha"), F.col("n_sh").alias("na")).hint("shuffle_hash"),
             "a",
         )
         .join(
-            sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb")),
+            sh.select(F.col("id").alias("b"), F.col("sh").alias("shb"), F.col("n_sh").alias("nb")).hint("shuffle_hash"),
             "b",
         )
         .withColumn("inter", F.size(F.array_intersect("sha", "shb")))
@@ -132,6 +142,7 @@ def dedup_simhash(
     max_hamming: int = 3,
     bits: int = 64,
     bands: int | None = None,
+    hash_fn: str = "h64",
 ) -> DataFrame:
     """SimHash near-dup pairs with Hamming distance ≤ ``max_hamming``.
 
@@ -158,7 +169,13 @@ def dedup_simhash(
         bands = max_hamming + 1
     if not 1 <= bands <= bits:
         raise ValueError(f"bands must be in [1, bits], got {bands}")
-    sig = simhash_bits(F.col(text_col), bits) if bits != 16 else simhash16(F.col(text_col))
+    # bits=16 with the default hash keeps simhash16 — the exact form the
+    # DuckDB oracle mirrors
+    sig = (
+        simhash16(F.col(text_col))
+        if bits == 16 and hash_fn == "h64"
+        else simhash_bits(F.col(text_col), bits, hash_fn)
+    )
     sh = docs.select(F.col(id_col).alias("id"), sig.alias("sh"))
 
     # band keys: contiguous bit ranges (remainder bits spread over the
@@ -178,8 +195,11 @@ def dedup_simhash(
     ).select("id", "sh", "bk.band", "bk.key")
     a = banded.select(F.col("id").alias("a"), F.col("sh").alias("sha"), "band", "key")
     b = banded.select(F.col("id").alias("b"), F.col("sh").alias("shb"), "band", "key")
+    # shuffle-hash hint: same corpus-scale broadcast hazard as the
+    # minhash candidate join (a mis-estimated broadcast of C x bands rows
+    # OOM'd the driver at C=1M before the hint)
     pairs = (
-        a.join(b, ["band", "key"])
+        a.join(b.hint("shuffle_hash"), ["band", "key"])
         .where(F.col("a") < F.col("b"))
         .select("a", "b", "sha", "shb")
         .distinct()

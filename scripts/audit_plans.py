@@ -158,6 +158,46 @@ def main() -> int:
          f"exchanges={n_ex7}, arrow cogroup kernel={'yes' if has_kernel else 'MISSING'}"))
     sections.append(("PIE local-fixpoint superstep (cogroup + Arrow kernel + min-combine)", p7))
 
+    # 8. banded simhash dedup: the corpus self-join must be a shuffled
+    # hash join — a (mis-estimated) broadcast of the C x bands banded
+    # corpus OOMs the driver at corpus scale (measured at C=1M before the
+    # shuffle_hash hint), and a cartesian would be quadratic
+    from libgrape_lite_spark.operators.dedup import dedup_simhash
+
+    ds = dedup_simhash(docs_full, max_hamming=3, bits=64)
+    p8 = plan_of(ds)
+    phys8 = p8.split("== Physical Plan ==")[1]
+    ok8 = (
+        "ShuffledHashJoin" in phys8
+        and "CartesianProduct" not in phys8
+        and "BroadcastNestedLoopJoin" not in phys8
+        and "BatchEvalPython" not in phys8  # pure JVM expressions
+    )
+    results.append(
+        ("dedup_simhash: banded self-join is ShuffledHashJoin, no cartesian, "
+         "no per-row Python (wall-times at C=1M: BENCH/runs/pipeline_*.json)",
+         ok8, "shuffled hash join on (band, key)" if ok8 else "WRONG JOIN STRATEGY"))
+    sections.append(("Banded SimHash dedup (candidates + bit_count verify)", p8))
+
+    # 9. IVF ANN: centroid assignment is an Arrow-vectorized map (never
+    # row-at-a-time Python), the probe join is a hash join on the cell id,
+    # and the corpus never self-joins
+    from libgrape_lite_spark.operators.knn import knn_ivf
+
+    ki = knn_ivf(emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=4, n_probe=2)
+    p9 = plan_of(ki)
+    phys9 = p9.split("== Physical Plan ==")[1]
+    ok9 = (
+        ("MapInPandas" in phys9 or "ArrowEvalPython" in phys9)
+        and "BatchEvalPython" not in phys9
+        and "CartesianProduct" not in phys9
+    )
+    results.append(
+        ("knn_ivf: Arrow-vectorized assignment, hash-join probe on cell, no "
+         "cartesian (wall-times at C=1M: BENCH/runs/pipeline_*.json)",
+         ok9, "arrow matmul + hash join" if ok9 else "row python or cartesian found"))
+    sections.append(("IVF ANN probe (assignment + cell join + top-k)", p9))
+
     ok = True
     lines = ["# PLANS — audited physical plans (scripts/audit_plans.py)\n"]
     for name, passed, ev in results:

@@ -301,3 +301,72 @@ def test_dedup_simhash_banded_complete_vs_bruteforce(spark):
         }
         assert got == want, f"bits={bits} max_hamming={m}"
         assert any(0 < h for h in want.values())  # fixture has near-dups
+
+
+# --------------------------------------------- prepare_graph warm-up
+def test_prepare_graph_warms_every_operator_layout(spark):
+    """The bench protocol's guarantee: after prepare_graph(kernel=True),
+    running every operator on the same graph hits the warmed layouts -
+    the cache holds the SAME DataFrame objects afterwards (no rebuild,
+    no eviction) and results are correct."""
+    from libgrape_lite_spark.operators import bfs, cdlp, lcc, pagerank, sssp, wcc
+    from libgrape_lite_spark.plans.kernels import _PREP_CACHE_ATTR, prepare_graph
+
+    v = make_vertices(spark, range(1, 8))
+    e = make_edges(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (2, 6), (6, 7)])
+
+    layouts = prepare_graph(v, e, kernel=True)
+    assert set(layouts) == {
+        "pie", "push", "push_weighted", "gather_src", "gather_dst",
+        "degree", "gather_dst_kernel",
+    }
+    cache = getattr(e, _PREP_CACHE_ATTR)
+    before = {k: id(val[1] if isinstance(val, tuple) else val) for k, val in cache.items()}
+
+    r_wcc = as_dict(wcc(v, e))
+    wcc(v, e, impl="dataframe").collect()
+    pagerank(v, e, max_rounds=2).collect()
+    cdlp(v, e, max_rounds=2).collect()
+    cdlp(v, e, max_rounds=2, impl="kernel").collect()
+    bfs(v, e, source=1).collect()
+    bfs(v, e, source=1, impl="auto").collect()
+    sssp(v, e, source=1).collect()
+    sssp(v, e, source=1, impl="auto").collect()
+    lcc(v, e).collect()
+
+    after = {k: id(val[1] if isinstance(val, tuple) else val) for k, val in cache.items()}
+    assert before == after  # every layout reused, none rebuilt or evicted
+    assert r_wcc == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 6: 1, 7: 1}
+
+
+def test_hash_fn_xxhash64_scale_path(spark):
+    """hash_fn='xxhash64' (the native scale path) must preserve operator
+    semantics: identical docs are found by dedup_minhash, the banded
+    simhash join stays complete vs a brute-force scan of the xxhash64
+    signatures, and unknown hash_fn raises."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.similarity import simhash_bits
+    from libgrape_lite_spark.operators.dedup import dedup_minhash, dedup_simhash
+
+    vocab = [f"tok{i}" for i in range(100)]
+    rows = [(i, " ".join(w for j, w in enumerate(vocab) if j != i)) for i in range(10)]
+    rows.append((10, rows[0][1]))  # exact duplicate of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    mh = {(r["a"], r["b"]) for r in
+          dedup_minhash(docs, threshold=0.9, shingle_n=2, hash_fn="xxhash64").collect()}
+    assert (0, 10) in mh  # identical docs always collide and verify at 1.0
+
+    sigs = {r["doc_id"]: r["sh"] for r in docs.select(
+        "doc_id", simhash_bits(F.col("text"), 64, hash_fn="xxhash64").alias("sh")
+    ).collect()}
+    want = {(a, b): _hamming(sigs[a], sigs[b]) for a in sigs for b in sigs
+            if a < b and _hamming(sigs[a], sigs[b]) <= 3}
+    got = {(r["a"], r["b"]): r["hamming"] for r in
+           dedup_simhash(docs, max_hamming=3, bits=64, hash_fn="xxhash64").collect()}
+    assert got == want and (0, 10) in got and got[(0, 10)] == 0
+
+    with pytest.raises(ValueError):
+        dedup_simhash(docs, hash_fn="fnv").collect()
