@@ -57,11 +57,17 @@ def bfs(
     ``impl="dataframe"`` (default) is the frontier push — cheaper per
     round when frontiers are tiny relative to the graph. Default settled
     on the round-5 fixed bench protocol (all shared prep tables prebuilt
-    in graph_build, so both impls measure supersteps only): push won all
-    three committed runs at sf0.1 — 5.71/6.33/5.22 s vs auto's
-    7.11/11.46/6.24 s (BENCH/runs/bench_1786961{703,831,975}.json). Deep or dense
-    graphs are covered by the direction switch below, which hands the
-    remaining levels to the same PIE kernel auto uses. Two guard rails
+    in graph_build, so both impls measure supersteps only) over SIX
+    committed sf0.1 runs: push 5.71/6.33/5.22/5.97/5.60/7.38 s vs auto
+    7.11/11.46/6.24/4.29/3.98/5.57 s
+    (BENCH/runs/bench_1786961{703,831,975}.json + bench_1786968{410,712,854}.json).
+    Medians tie (5.84 vs 5.90 s) but the split is conditions, not noise:
+    auto's Arrow-cogroup Python workers win every idle-host run and lose
+    every moderately-loaded one (spread 3.98-11.46 s vs push's 5.22-7.38);
+    push is the lower-variance choice for unknown host conditions, and
+    ties the median. Deep or dense graphs are covered by the direction
+    switch below, which hands the remaining levels to the same PIE kernel
+    auto uses. Two guard rails
     for the non-tiny case:
 
     * a per-round frontier delta joins via **broadcast only below
