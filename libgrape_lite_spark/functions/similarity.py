@@ -40,22 +40,65 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_n: int = 3,
     hash_fn: str = "h64",
+    plan: str = "narrow",
 ) -> DataFrame:
     """(id, sig: array<long>) — DataFrame-level minhash.
 
-    Plan: explode distinct shingles → ``groupBy(id).agg(min(h_i) ...)`` —
-    one shuffle, each of the ``num_hashes`` mins partially aggregated
-    map-side. Documents with no shingles are dropped (no signature).
+    Two physical plans computing BIT-IDENTICAL signatures (pytest-pinned):
+
+    ``plan="narrow"`` (default): one ``aggregate`` fold over the shingle
+    array carrying all ``num_hashes`` running minima in its accumulator
+    — ZERO shuffle; the signature is a per-row map over the doc scan.
+    Same total hash evaluations as the explode plan, none of its
+    shuffle: at C=1M the explode plan materializes a 52M-row
+    (id, shingle) exchange that the narrow plan simply never creates.
+
+    ``plan="explode"``: explode distinct shingles →
+    ``groupBy(id).agg(min(h_i)...)`` — one shuffle, map-side combined.
+    Kept because the min aggregate is whole-stage-codegen'd while HOF
+    lambdas are interpreted, so it can win when per-hash cost dominates
+    shuffle cost (tiny corpora, very long docs); it is also the shape
+    the DuckDB oracle mirrors textually.
+
+    Documents with no shingles are dropped (no signature) — both plans.
 
     ``hash_fn``: ``"h64"`` (default) is the portable md5-based family the
-    DuckDB oracle reproduces bit-for-bit; ``"xxhash64"`` is the scale
-    path — native, no digest-string round-trip. Measured at C=1M
-    (BENCH/runs/pipeline_17869657*.json vs _17869665*): dedup_simhash
-    90.1 → 52.8 s (hashing dominates there), dedup_minhash 232 → 185 s
-    (the 52M-row shingle explode + groupBy shuffle dominates, hashing is
-    only ~20%). Same minhash statistics, different (still deterministic)
-    signature values.
+    DuckDB oracle reproduces bit-for-bit; ``"xxhash64"`` is the native
+    scale family. Same minhash statistics, different (still
+    deterministic) signature values.
     """
+    if hash_fn not in ("h64", "xxhash64"):
+        raise ValueError(f"hash_fn must be h64|xxhash64, got {hash_fn!r}")
+    if plan == "narrow":
+        sh_docs = docs.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+        ).where(F.size("sh") > 0)
+        if hash_fn == "xxhash64":
+            hash_one = lambda i, s: F.xxhash64(i, s)  # noqa: E731
+        else:
+            # same bytes as the explode plan's concat(lit(f"{i}:"), s)
+            hash_one = lambda i, s: h64(  # noqa: E731
+                F.concat(i.cast("string"), F.lit(":"), s)
+            )
+        # ONE pass over the shingle array, maintaining all num_hashes
+        # running minima in the fold accumulator (the simhash_bits
+        # counter-array shape). `sh` is referenced exactly once: Spark's
+        # CollapseProject inlines the shingle expression into every
+        # reference, and higher-order lambdas are interpreted (no
+        # codegen, no common-subexpression elimination) — the earlier
+        # transform(range, i -> array_min(transform(sh, ...))) form
+        # re-evaluated the whole shingle construction per hash function
+        # (16x the regex work; observed as a >10x blowup at C=1M).
+        idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+        init = F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes)
+        sig = F.aggregate(
+            F.col("sh"),
+            init,
+            lambda acc, s: F.zip_with(acc, idx, lambda m, i: F.least(m, hash_one(i, s))),
+        )
+        return sh_docs.select("id", sig.alias("sig"))
+    if plan != "explode":
+        raise ValueError(f"plan must be narrow|explode, got {plan!r}")
     ex = docs.select(
         F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), shingle_n)).alias("s")
     )
@@ -64,13 +107,11 @@ def minhash_signatures(
             F.min(F.xxhash64(F.lit(i), F.col("s"))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    elif hash_fn == "h64":
+    else:
         mins = [
             F.min(h64(F.concat(F.lit(f"{i}:"), F.col("s")))).alias(f"h{i}")
             for i in range(num_hashes)
         ]
-    else:
-        raise ValueError(f"hash_fn must be h64|xxhash64, got {hash_fn!r}")
     agg = ex.groupBy("id").agg(*mins)
     return agg.select("id", F.array(*[f"h{i}" for i in range(num_hashes)]).alias("sig"))
 

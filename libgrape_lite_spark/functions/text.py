@@ -99,14 +99,32 @@ def fingerprint(text: Column) -> Column:
 
 
 def shingles(text: Column, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (array<string>)."""
+    """Distinct word n-gram shingles (array<string>).
+
+    Built by zipping the token array with its own k-shifted tails
+    (k = 1..n-1): windows that run off the end pick up a null from
+    ``zip_with``'s padding, turn null under the null-propagating
+    ``concat``, and are filtered out. The token-array expression is
+    referenced only n times, so the regex ``split`` behind it is
+    evaluated O(n) times per row. The naive per-position form
+    (``transform(sequence(1, size-n+1), i -> concat_ws(' ',
+    slice(toks, i, n)))``) inlines the split into every lambda
+    iteration under Spark's interpreted higher-order-function
+    evaluator — O(tokens) regex splits per row, measured as the
+    dominant cost of minhash signatures at C=1M. Output is
+    bit-identical to that form (pytest-pinned): same first-occurrence
+    order, same strings, same null/short-doc handling ([]).
+    """
     toks = tokens(text)
-    k = F.size(toks) - (n - 1)
-    grams = F.when(
-        k > 0,
-        F.transform(
-            F.sequence(F.lit(1), k),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+    grams = toks
+    for k in range(1, n):
+        grams = F.zip_with(
+            grams,
+            # start is 1-based; length 2^30 = "to the end" without
+            # overflowing start+length past int32
+            F.slice(toks, k + 1, 1 << 30),
+            lambda g, t: F.concat(g, F.lit(" "), t),
+        )
+    out = F.array_distinct(F.filter(grams, lambda g: g.isNotNull()))
+    # null text -> null tokens -> null grams; the historical contract is []
+    return F.coalesce(out, F.array().cast("array<string>"))

@@ -102,13 +102,31 @@ def dedup_minhash(
     path (see functions/similarity.py::minhash_signatures); the verify
     stage is hash-agnostic, so accepted pairs change only where LSH
     candidate recall differs at the threshold margin.
+
+    Verify-stage scale note: candidates are materialized (eager
+    ``localCheckpoint`` — this operator triggers the LSH stage at call
+    time, like the kernel operators) and the corpus is semi-joined down
+    to the ids that appear in some candidate pair BEFORE shingle arrays
+    are computed. Only O(candidate-ids) rows carry arrays through the
+    verify joins instead of the whole corpus — at C=1M / 24k candidate
+    pairs that is ~37k docs instead of 1M full shingle arrays shuffled
+    twice.
     """
     from libgrape_lite_spark.functions.text import shingles
 
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap, hash_fn
+    ).localCheckpoint(eager=True)
+    cand_ids = (
+        cands.select(F.col("a").alias(id_col))
+        .union(cands.select(F.col("b").alias(id_col)))
+        .distinct()
     )
-    sh = docs.select(
+    # semi-join BEFORE the shingle expression: the filter is on the bare
+    # id column, so only surviving rows pay tokenization + shingling; AQE
+    # turns the tiny id set into a broadcast at runtime
+    docs_in_play = docs.join(cand_ids, id_col, "semi")
+    sh = docs_in_play.select(
         F.col(id_col).alias("id"),
         F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
     ).withColumn("n_sh", F.size("sh"))

@@ -137,8 +137,12 @@ def main() -> None:
     def timed(name, df, force_agg=None):
         # count() lets Catalyst prune unreferenced projections — a pure
         # per-doc map op must be forced through an aggregate over its
-        # computed column instead
+        # computed column instead. Operators that materialize eagerly at
+        # call time (dedup_minhash checkpoints its candidate set) are
+        # passed as thunks so their construction is INSIDE the window.
         t = time.time()
+        if callable(df):
+            df = df()
         n = df.agg(force_agg).collect()[0][0] if force_agg is not None else df.count()
         dt = round(time.time() - t, 3)
         out["ops"][name] = {
@@ -164,7 +168,7 @@ def main() -> None:
     )
     timed(
         "dedup_minhash",
-        dedup_minhash(
+        lambda: dedup_minhash(
             docs, threshold=0.5, num_hashes=16, bands=4, shingle_n=3,
             hash_fn="xxhash64",
         ),

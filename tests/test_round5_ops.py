@@ -370,3 +370,131 @@ def test_hash_fn_xxhash64_scale_path(spark):
 
     with pytest.raises(ValueError):
         dedup_simhash(docs, hash_fn="fnv").collect()
+
+
+def test_minhash_plan_narrow_matches_explode(spark):
+    """The zero-shuffle narrow signature plan must be bit-identical to the
+    explode+groupBy plan for BOTH hash families, drop shingle-less docs
+    the same way, and reject unknown plans. (The narrow plan is the
+    default: same hash evaluations, none of the 52x-corpus exploded-row
+    exchange — see functions/similarity.py::minhash_signatures.)"""
+    import pytest
+
+    from libgrape_lite_spark.functions.similarity import minhash_signatures
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog again and again"),
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "an entirely different document with its own words inside it"),
+        (3, "short doc"),        # 2 tokens < shingle_n=3 -> no shingles
+        (4, ""),                 # empty -> no shingles
+        (5, None),               # null -> no shingles
+        (6, "one two three four five six seven eight nine ten eleven"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    for hash_fn in ("h64", "xxhash64"):
+        narrow = {
+            r["id"]: list(r["sig"])
+            for r in minhash_signatures(docs, hash_fn=hash_fn, plan="narrow").collect()
+        }
+        explode = {
+            r["id"]: list(r["sig"])
+            for r in minhash_signatures(docs, hash_fn=hash_fn, plan="explode").collect()
+        }
+        assert narrow == explode, hash_fn
+        assert set(narrow) == {0, 1, 2, 6}  # 3, 4, 5 dropped by both plans
+        assert narrow[0] == narrow[1]       # identical docs, identical sigs
+
+    # the narrow plan is shuffle-free: no Exchange in the executed plan
+    sig = minhash_signatures(docs, plan="narrow")
+    sig.collect()
+    plan = sig._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+    with pytest.raises(ValueError):
+        minhash_signatures(docs, plan="sideways")
+
+
+def test_dedup_minhash_verify_semijoin_parity(spark):
+    """The round-5 verify-stage reduction (checkpoint candidates, semi-join
+    the corpus to candidate ids before shingling) must not change accepted
+    pairs or jaccard values vs a straight recompute of the definition."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.text import shingles
+    from libgrape_lite_spark.operators.dedup import (
+        dedup_minhash,
+        minhash_lsh_candidates,
+    )
+
+    vocab = [f"w{i}" for i in range(60)]
+    rows = [(i, " ".join(w for j, w in enumerate(vocab) if j % 7 != i % 7)) for i in range(12)]
+    rows.append((12, rows[0][1] + " extra"))  # near-dup of doc 0
+    rows.append((13, rows[0][1]))             # exact dup of doc 0
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    got = {
+        (r["a"], r["b"]): round(r["jaccard"], 12)
+        for r in dedup_minhash(docs, threshold=0.4).collect()
+    }
+
+    # independent verify: same candidates, jaccard from full shingle sets
+    cands = {(r["a"], r["b"]) for r in minhash_lsh_candidates(docs).collect()}
+    sh = {
+        r["doc_id"]: set(r["sh"])
+        for r in docs.select("doc_id", shingles(F.col("text")).alias("sh")).collect()
+    }
+    want = {}
+    for a, b in cands:
+        inter = len(sh[a] & sh[b])
+        j = inter / (len(sh[a]) + len(sh[b]) - inter)
+        if j >= 0.4:
+            want[(a, b)] = round(j, 12)
+    assert got == want
+    assert (0, 13) in got and got[(0, 13)] == 1.0
+
+
+def test_shingles_zip_form_matches_per_position_form(spark):
+    """The round-5 shingles rewrite (zip the token array with its own
+    shifted tails; O(n) token-array references) must be bit-identical to
+    the historical per-position form (transform over sequence(1, size-n+1)
+    with slice+concat_ws), including element ORDER (array_distinct keeps
+    first occurrence — band keys hash the array, so order matters)."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.text import shingles, tokens
+
+    def per_position(text, n):
+        toks = tokens(text)
+        k = F.size(toks) - (n - 1)
+        grams = F.when(
+            k > 0,
+            F.transform(
+                F.sequence(F.lit(1), k),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+        return F.array_distinct(grams)
+
+    rows = [
+        (0, "a b c d e"),
+        (1, "a a a a a"),                      # all-identical tokens
+        (2, "x y x y x y"),                    # repeated n-grams (order pin)
+        (3, "  spaced\t\tout \n tokens here "),  # mixed whitespace + trim
+        (4, "one two"),                        # size < n
+        (5, "solo"),
+        (6, ""),
+        (7, None),
+        (8, "ü ñ 中 文 tokens"),                # non-ascii
+        (9, " ".join(f"t{i % 4}" for i in range(30))),  # heavy dup windows
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for n in (1, 2, 3, 5):
+        got = docs.select(
+            "doc_id", shingles(F.col("text"), n).alias("s")
+        ).orderBy("doc_id").collect()
+        want = docs.select(
+            "doc_id", per_position(F.col("text"), n).alias("s")
+        ).orderBy("doc_id").collect()
+        assert [list(r["s"]) for r in got] == [list(r["s"]) for r in want], n
