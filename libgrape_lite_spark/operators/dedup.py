@@ -58,7 +58,16 @@ def minhash_lsh_candidates(
     (dedup_exact) is the right tool for them, not pairwise verification.
     """
     rows = num_hashes // bands
-    sig = minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    # materialize the (id, sig) table once (eager, tiny: id + num_hashes
+    # longs per doc). Without it BOTH sides of the band self-join
+    # recompute the full signature expression from the raw text —
+    # exchange reuse does not fire across the self-join because the
+    # higher-order-function lambda variables carry fresh exprIds that
+    # defeat plan canonicalization (verified: 0 ReusedExchange in the
+    # executed plan; the signature subtree appeared on both sides)
+    sig = minhash_signatures(
+        docs, id_col, text_col, num_hashes, shingle_n, hash_fn
+    ).localCheckpoint(eager=True)
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", "bk.band", "bk.key")
@@ -194,7 +203,13 @@ def dedup_simhash(
         if bits == 16 and hash_fn == "h64"
         else simhash_bits(F.col(text_col), bits, hash_fn)
     )
-    sh = docs.select(F.col(id_col).alias("id"), sig.alias("sh"))
+    # eager materialization of the 8-byte-per-doc signature: the band
+    # self-join's two sides otherwise each recompute the full simhash
+    # (one hash + 64 counter updates per token per doc) — exchange reuse
+    # does not fire across HOF lambdas (see minhash_lsh_candidates)
+    sh = docs.select(F.col(id_col).alias("id"), sig.alias("sh")).localCheckpoint(
+        eager=True
+    )
 
     # band keys: contiguous bit ranges (remainder bits spread over the
     # first bands); arithmetic shiftright's sign-fill is cut by the mask
@@ -216,15 +231,20 @@ def dedup_simhash(
     # shuffle-hash hint: same corpus-scale broadcast hazard as the
     # minhash candidate join (a mis-estimated broadcast of C x bands rows
     # OOM'd the driver at C=1M before the hint)
-    pairs = (
+    # verify BEFORE the distinct: the Hamming filter is a per-row xor +
+    # bit_count evaluated map-side inside the join stage, so the distinct
+    # exchange dedups only true near-dup pairs (≤ bands copies each) —
+    # not the full bucket-collision candidate stream. At C=1M / 16-bit
+    # band keys the buckets average ~15 docs, i.e. ~30M collision pairs
+    # per run; distinct-then-filter shuffled all of them with both 64-bit
+    # signatures attached, filter-then-distinct shuffles ~50k longs.
+    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
+    return (
         a.join(b.hint("shuffle_hash"), ["band", "key"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "sha", "shb")
+        .select("a", "b", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
         .distinct()
-    )
-    hamming = F.bit_count(F.col("sha").bitwiseXOR(F.col("shb")))
-    return pairs.select("a", "b", hamming.alias("hamming")).where(
-        F.col("hamming") <= max_hamming
     )
 
 

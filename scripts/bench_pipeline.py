@@ -164,7 +164,7 @@ def main() -> None:
     )
     timed(
         "dedup_simhash",
-        dedup_simhash(docs, max_hamming=3, bits=64, hash_fn="xxhash64"),
+        lambda: dedup_simhash(docs, max_hamming=3, bits=64, hash_fn="xxhash64"),
     )
     timed(
         "dedup_minhash",
