@@ -33,6 +33,10 @@ from pyspark.sql.window import Window
 
 from libgrape_lite_spark.functions.similarity import cosine
 
+# max float64 elements in one IVF scoring product tensor (~64 MB): bounds
+# per-task transient memory independent of cell size / probe fan-in
+_SCORE_TENSOR_CAP = 8_000_000
+
 
 def knn_bruteforce(
     corpus: DataFrame,
@@ -200,9 +204,16 @@ def knn_lsh(
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
 
 
-def _batch_argmax_cosine(centroids: np.ndarray):
+def _batch_argmax_cosine(centroids: np.ndarray, carry_vec: bool = False):
     """Kernel factory: assign each vector to its max-cosine centroid.
-    One NumPy matmul per Arrow batch, zero per-row Python."""
+    One NumPy matmul per Arrow batch, zero per-row Python.
+
+    ``carry_vec``: also pass the vector column through unchanged (schema
+    ``id long, cell int, v <input type>``). Downstream stages that need
+    (cell, v) together — the k-means per-cell mean, the IVF scoring
+    kernel — read it straight off the kernel output instead of joining
+    the O(corpus) assignment table back to the O(corpus) vector table
+    (a full extra shuffle + hash join per use at 100 TB)."""
     norms = np.linalg.norm(centroids, axis=1)
     norms[norms == 0] = 1.0
     cn = centroids / norms[:, None]
@@ -215,9 +226,10 @@ def _batch_argmax_cosine(centroids: np.ndarray):
             vn = np.linalg.norm(mat, axis=1)
             vn[vn == 0] = 1.0
             sims = (mat / vn[:, None]) @ cn.T
-            yield pd.DataFrame(
-                {"id": pdf["id"].to_numpy(), "cell": sims.argmax(axis=1).astype("int32")}
-            )
+            out = {"id": pdf["id"].to_numpy(), "cell": sims.argmax(axis=1).astype("int32")}
+            if carry_vec:
+                out["v"] = pdf["v"]
+            yield pd.DataFrame(out)
 
     return assign
 
@@ -271,10 +283,15 @@ def kmeans_fit(
         m = np.add.accumulate(mat, axis=0)[-1] / len(mat)
         return pd.DataFrame({"cell": [key[0]], "c": [m.tolist()]})
 
+    vtype = base.schema["v"].dataType.simpleString()
     for _ in range(iters):
+        # the kernel carries v through — profiling at V=1M put ~half of
+        # each Lloyd iteration in the old join of the assignment table
+        # back to `base` just to re-attach the vector it already had
         assigned = base.mapInPandas(
-            _batch_argmax_cosine(centroids), schema="id long, cell int"
-        ).join(base, "id")
+            _batch_argmax_cosine(centroids, carry_vec=True),
+            schema=f"id long, cell int, v {vtype}",
+        )
         rows = (
             assigned.groupBy("cell")
             .applyInPandas(mean_cell, schema="cell int, c array<double>")
@@ -320,8 +337,10 @@ def knn_ivf(
     cn = centroids / norms[:, None]
 
     cb = corpus.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    vtype = cb.schema["v"].dataType.simpleString()
     corpus_cells = cb.mapInPandas(
-        _batch_argmax_cosine(centroids), schema="id long, cell int"
+        _batch_argmax_cosine(centroids, carry_vec=True),
+        schema=f"id long, cell int, v {vtype}",
     )
 
     def probe(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -346,20 +365,69 @@ def knn_ivf(
     qb = queries.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     query_cells = qb.mapInPandas(probe, schema="id long, cell int")
 
-    cand = (
-        query_cells.withColumnRenamed("id", "query_id")
-        .join(corpus_cells.withColumnRenamed("id", "neighbor_id"), "cell")
-        .where(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(c, "neighbor_id")
-        .select("query_id", "neighbor_id",
-                F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
-    )
+    # the probed queries ride the scoring kernel's CLOSURE — O(Q·(d +
+    # n_probe)) driver bytes, the same small-queries assumption as the
+    # broadcast join this replaces. Probe cells come from the
+    # executor-side kernel above and are collected (O(Q·n_probe) rows),
+    # NOT recomputed on the driver: BLAS matmuls are not guaranteed
+    # bit-stable across thread counts, and the probe choice must be
+    # exactly the one the oracle mirrors. The old shape materialized the
+    # ~Q·n_probe·(V/cells) candidate pair table through a distinct and a
+    # second O(V) vector join, then scored with the interpreted HOF
+    # cosine; the kernel emits (query_id, neighbor_id, cos) straight off
+    # the corpus scan — the final top-k window is the only shuffle.
+    probe_rows = query_cells.collect()
+    qvec = {r["id"]: np.asarray(r["v"], dtype=np.float64) for r in qb.collect()}
+    cell_probes: dict[int, list[int]] = {}
+    for r in probe_rows:
+        cell_probes.setdefault(r["cell"], []).append(r["id"])
+    by_cell: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+    for cell, qids in cell_probes.items():
+        qids = sorted(qids)
+        qmat = np.vstack([qvec[qid] for qid in qids])
+        # norms/dots below use sequential cumsum folds — bit-identical to
+        # functions/similarity.py::norm/dot's left fold (and therefore to
+        # the DuckDB oracle mirror), unlike BLAS/np.sum pairwise reduction
+        qnorm = np.sqrt(np.cumsum(qmat * qmat, axis=1)[:, -1])
+        by_cell[cell] = (np.asarray(qids, dtype=np.int64), qmat, qnorm)
+
+    def score(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cells = pdf["cell"].to_numpy()
+            ids = pdf["id"].to_numpy()
+            vs = pdf["v"].to_numpy()
+            outs = []
+            for cell in np.unique(cells):
+                ent = by_cell.get(int(cell))
+                if ent is None:
+                    continue  # cell probed by no query
+                qids, qmat, qnorm = ent
+                m = cells == cell
+                cmat = np.vstack(vs[m]).astype(np.float64)
+                cids = ids[m]
+                cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+                # bound the (chunk × n_queries × dim) product tensor
+                step = max(1, _SCORE_TENSOR_CAP // max(1, len(qids) * qmat.shape[1]))
+                for lo in range(0, len(cids), step):
+                    cm, ci = cmat[lo : lo + step], cids[lo : lo + step]
+                    num = np.cumsum(cm[:, None, :] * qmat[None, :, :], axis=2)[:, :, -1]
+                    cos = num / (qnorm[None, :] * cnorm[lo : lo + step][:, None])
+                    qq = np.tile(qids, len(ci))
+                    nn = np.repeat(ci, len(qids))
+                    cc = cos.reshape(-1)
+                    keep = qq != nn
+                    outs.append(
+                        pd.DataFrame(
+                            {"query_id": qq[keep], "neighbor_id": nn[keep], "cos": cc[keep]}
+                        )
+                    )
+            if outs:
+                yield pd.concat(outs, ignore_index=True)
+
+    scored = corpus_cells.mapInPandas(
+        score, schema="query_id long, neighbor_id long, cos double"
+    ).select("query_id", "neighbor_id", F.round("cos", 6).alias("cos"))
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)

@@ -179,9 +179,10 @@ def main() -> int:
          ok8, "shuffled hash join on (band, key)" if ok8 else "WRONG JOIN STRATEGY"))
     sections.append(("Banded SimHash dedup (candidates + bit_count verify)", p8))
 
-    # 9. IVF ANN: centroid assignment is an Arrow-vectorized map (never
-    # row-at-a-time Python), the probe join is a hash join on the cell id,
-    # and the corpus never self-joins
+    # 9. IVF ANN: centroid assignment and probe scoring are Arrow-vectorized
+    # kernels (never row-at-a-time Python) — the probed queries ride the
+    # scoring kernel's closure, the corpus never self-joins, and the only
+    # shuffle is the final per-query top-k window
     from libgrape_lite_spark.operators.knn import knn_ivf
 
     ki = knn_ivf(emb, emb.where(F.col("vec_id") < 5), k=3, n_centroids=4, n_probe=2)
@@ -193,10 +194,11 @@ def main() -> int:
         and "CartesianProduct" not in phys9
     )
     results.append(
-        ("knn_ivf: Arrow-vectorized assignment, hash-join probe on cell, no "
-         "cartesian (wall-times at C=1M: BENCH/runs/pipeline_*.json)",
-         ok9, "arrow matmul + hash join" if ok9 else "row python or cartesian found"))
-    sections.append(("IVF ANN probe (assignment + cell join + top-k)", p9))
+        ("knn_ivf: Arrow-vectorized assignment + closure-probe scoring kernel, "
+         "no cartesian (wall-times at C=1M: BENCH/runs/pipeline_*.json)",
+         ok9, "arrow kernels, top-k window only shuffle" if ok9
+         else "row python or cartesian found"))
+    sections.append(("IVF ANN probe (assign/score kernels + top-k)", p9))
 
     ok = True
     lines = ["# PLANS — audited physical plans (scripts/audit_plans.py)\n"]
