@@ -148,7 +148,14 @@ def lsh_candidate_pairs(
     """
     import itertools
 
-    b = lsh_bucket_ids(df, id_col, vec_col, n_planes, n_tables)
+    # materialize the (id, table, bucket) frame once (eager, ~20 B x V x
+    # n_tables): the self-join's two sides — and the bucket_cap sizing
+    # pass — otherwise each re-run the projection kernel over the FULL
+    # vector corpus (exchange reuse does not fire across Python kernels,
+    # same as the HOF-lambda case in operators/dedup.py)
+    b = lsh_bucket_ids(df, id_col, vec_col, n_planes, n_tables).localCheckpoint(
+        eager=True
+    )
     if bucket_cap is not None:
         sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n"))
         keep = sizes.where(F.col("n") <= bucket_cap).select("table", "bucket")
