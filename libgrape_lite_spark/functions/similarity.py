@@ -246,9 +246,14 @@ def jaccard_pairs(
     """
     if isinstance(df_cap, str) and df_cap != "unbounded":
         raise ValueError(f"df_cap must be an int, None, or 'unbounded', got {df_cap!r}")
+    # materialize the shingle arrays once (eager — the uncapped guard
+    # below runs a job at call time anyway): the df-frequency passes and
+    # BOTH sides of the shingle self-join would otherwise each re-run
+    # the regex shingling over the full corpus (no exchange reuse across
+    # HOF lambdas — see operators/dedup.py)
     base = docs.select(
         F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    )
+    ).localCheckpoint(eager=True)
     if df_cap is None:
         hot = (
             base.select(F.explode("sh").alias("s"))

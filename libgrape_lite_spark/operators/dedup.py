@@ -135,10 +135,18 @@ def dedup_minhash(
     # id column, so only surviving rows pay tokenization + shingling; AQE
     # turns the tiny id set into a broadcast at runtime
     docs_in_play = docs.join(cand_ids, id_col, "semi")
-    sh = docs_in_play.select(
-        F.col(id_col).alias("id"),
-        F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
-    ).withColumn("n_sh", F.size("sh"))
+    # checkpoint: the a-side and b-side joins below would otherwise each
+    # re-run the semi-join + shingling over the candidate docs (small —
+    # O(candidate ids) — so the materialization is cheap and halves the
+    # shingle work)
+    sh = (
+        docs_in_play.select(
+            F.col(id_col).alias("id"),
+            F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        )
+        .withColumn("n_sh", F.size("sh"))
+        .localCheckpoint(eager=True)
+    )
     # Candidate-bounded verify: join the (few) candidate pairs to per-doc
     # shingle arrays and intersect in place (array_intersect, JVM-side) —
     # cost is O(candidates × avg shingles), never the co-shingle self-join.
