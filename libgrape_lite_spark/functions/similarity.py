@@ -20,17 +20,28 @@ def minhash_signature(text: Column, num_hashes: int = 16, shingle_n: int = 3) ->
     Seeded-hash family via prefix-tagging one base hash — the standard
     trick; identical in SQL: min(h64(CAST(i AS STRING)||':'||sh)).
 
-    NOTE: expression form — fine for few hashes/short docs. The scale path
-    is :func:`minhash_signatures` (explode + groupBy with map-side combine),
-    which avoids quadratic expression expansion in codegen.
+    Expression form of :func:`minhash_signatures`'s narrow plan: ONE
+    aggregate fold over the shingle array carrying all running minima —
+    the shingle expression is referenced twice (empty-check + fold), a
+    constant. The previous nested-transform form
+    (``transform(range, i -> array_min(transform(sh, ...)))``) re-ran
+    the whole shingle construction once per hash function under the
+    interpreted HOF evaluator — the same O(num_hashes × tokens) regex
+    blowup measured and removed in the DataFrame path.
     """
     sh = shingles(text, shingle_n)
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
-        lambda i: F.array_min(
-            F.transform(sh, lambda s: h64(F.concat(i.cast("string"), F.lit(":"), s)))
+    idx = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    fold = F.aggregate(
+        sh,
+        F.array(*[F.lit(2**63 - 1).cast("long")] * num_hashes),
+        lambda acc, s: F.zip_with(
+            acc,
+            idx,
+            lambda m, i: F.least(m, h64(F.concat(i.cast("string"), F.lit(":"), s))),
         ),
     )
+    empty = F.array(*[F.lit(None).cast("long")] * num_hashes)
+    return F.when(F.size(sh) > 0, fold).otherwise(empty)
 
 
 def minhash_signatures(

@@ -498,3 +498,40 @@ def test_shingles_zip_form_matches_per_position_form(spark):
             "doc_id", per_position(F.col("text"), n).alias("s")
         ).orderBy("doc_id").collect()
         assert [list(r["s"]) for r in got] == [list(r["s"]) for r in want], n
+
+
+def test_minhash_signature_expression_form_matches_dataframe_plans(spark):
+    """The column-expression form (minhash_signature) must produce the same
+    values as the DataFrame plans, and [null]*num_hashes for docs with no
+    shingles — after its round-5 rewrite from the nested-transform shape
+    (which re-ran the shingle construction once per hash function) to the
+    single aggregate fold."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions.similarity import (
+        minhash_signature,
+        minhash_signatures,
+    )
+
+    rows = [
+        (0, "the quick brown fox jumps over a lazy dog"),
+        (1, "short doc"),
+        (2, None),
+        (3, "a b c d e f g a b c d e f g"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expr = {
+        r["doc_id"]: (list(r["s"]) if r["s"] is not None else None)
+        for r in docs.select(
+            "doc_id", minhash_signature(F.col("text")).alias("s")
+        ).collect()
+    }
+    for plan in ("narrow", "explode"):
+        df_sigs = {
+            r["id"]: list(r["sig"])
+            for r in minhash_signatures(docs, plan=plan).collect()
+        }
+        assert set(df_sigs) == {0, 3}
+        for k, v in df_sigs.items():
+            assert expr[k] == v, (plan, k)
+    assert expr[1] == [None] * 16 and expr[2] == [None] * 16
