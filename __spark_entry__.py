@@ -295,18 +295,12 @@ def _q_embedding_dedup(spark, sf_dir):
 
 
 def _q_text_stats(spark, sf_dir):
-    from libgrape_lite_spark.functions import text as T
+    # one-pass table form: tokenizes each doc once instead of ~13 times
+    # (functions/text.py::text_stats_table; values bit-identical to the
+    # per-column composition, pytest-pinned)
+    from libgrape_lite_spark.functions.text import text_stats_table
 
-    d = _docs(spark, sf_dir)
-    return d.select(
-        "doc_id",
-        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
-        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
-        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
-        T.quality_score(F.col("text")).alias("quality"),
-        T.lang_id(F.col("text")).alias("lang_guess"),
-        T.fingerprint(F.col("text")).alias("fp"),
-    )
+    return text_stats_table(_docs(spark, sf_dir))
 
 
 def _q_multimodal_bytes(spark, sf_dir):

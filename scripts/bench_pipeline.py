@@ -152,6 +152,20 @@ def main() -> None:
             **plan_audit(df),
         }
 
+    from libgrape_lite_spark.functions.text import text_stats_table
+
+    timed(
+        "text_stats",
+        lambda: text_stats_table(docs),
+        # xxhash64 over every output column: forces the full stat row
+        # (count() would let Catalyst prune the unreferenced stats)
+        force_agg=F.bit_xor(
+            F.xxhash64(
+                "doc_id", "n_tokens", "n_pieces", "stopword_ratio",
+                "quality", "lang_guess", "fp",
+            )
+        ),
+    )
     # hash_fn="xxhash64" throughout: the native scale path (the md5-based
     # h64 exists for DuckDB-oracle bit-parity; at C=1M the num_hashes x
     # shingles md5 evaluation dominated the minhash wall time)

@@ -535,3 +535,35 @@ def test_minhash_signature_expression_form_matches_dataframe_plans(spark):
         for k, v in df_sigs.items():
             assert expr[k] == v, (plan, k)
     assert expr[1] == [None] * 16 and expr[2] == [None] * 16
+
+
+def test_text_stats_table_matches_column_composition(spark):
+    """text_stats_table (single tokenization pass) must be value-identical
+    to the per-column function composition it replaces in the driver's
+    text_stats query."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark.functions import text as T
+
+    rows = [
+        (0, "The quick brown fox and the lazy dog of the east"),
+        (1, "el que la de un es en y"),
+        (2, ""),
+        (3, None),
+        (4, "zzz qqq xxx"),
+        (5, "Der und die das ist von ein zu der und"),
+        (6, " ".join(["the"] * 100)),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    via_columns = docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).cast("long").alias("n_tokens"),
+        T.bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
+        F.round(T.stopword_ratio(F.col("text")), 6).alias("stopword_ratio"),
+        T.quality_score(F.col("text")).alias("quality"),
+        T.lang_id(F.col("text")).alias("lang_guess"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).orderBy("doc_id").collect()
+    via_table = T.text_stats_table(docs).orderBy("doc_id").collect()
+    assert [r.asDict() for r in via_table] == [r.asDict() for r in via_columns]
