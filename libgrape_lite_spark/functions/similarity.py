@@ -262,9 +262,13 @@ def jaccard_pairs(
     # BOTH sides of the shingle self-join would otherwise each re-run
     # the regex shingling over the full corpus (no exchange reuse across
     # HOF lambdas — see operators/dedup.py)
-    base = docs.select(
-        F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
-    ).localCheckpoint(eager=True)
+    from libgrape_lite_spark import transients
+
+    base = transients.transient_checkpoint(
+        docs.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col), shingle_n).alias("sh")
+        )
+    )
     if df_cap is None:
         hot = (
             base.select(F.explode("sh").alias("s"))

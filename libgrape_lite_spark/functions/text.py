@@ -130,23 +130,6 @@ def shingles(text: Column, n: int = 3) -> Column:
     return F.coalesce(out, F.array().cast("array<string>"))
 
 
-def _stopword_ratio_from(tl: Column, lang: str = "en") -> Column:
-    """stopword_ratio over a pre-tokenized lowercase array column."""
-    words = LANG_STOPWORDS[lang]
-    hits = F.size(F.filter(tl, _isin_filter(words)))
-    return F.when(F.size(tl) > 0, hits / F.size(tl)).otherwise(0.0)
-
-
-def _lang_id_from(tl: Column) -> Column:
-    """lang_id over a pre-tokenized lowercase array column."""
-    best = None
-    for lang, words in sorted(LANG_STOPWORDS.items()):
-        s = F.size(F.filter(tl, _isin_filter(words)))
-        pair = F.struct(s.alias("hits"), F.lit(lang).alias("lang"))
-        best = pair if best is None else F.when(s > best["hits"], pair).otherwise(best)
-    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
-
-
 def text_stats_table(
     docs, id_col: str = "doc_id", text_col: str = "text"
 ):
@@ -158,32 +141,69 @@ def text_stats_table(
     common-subexpression elimination across higher-order-function
     lambdas) — the per-column composition evaluates ~13 interpreted
     regex splits per row (measured 38 s at C=1M). This table form
-    materializes the raw and lowercase token arrays ONCE per row
-    (eager localCheckpoint, O(corpus tokens)) and derives every stat
-    from the stored arrays — pure array scans, zero re-tokenization.
-    Values are bit-identical to the column functions (pytest-pinned;
-    the DuckDB oracle for `text_stats` stays green unchanged).
+    tokenizes each document ONCE: a single ``aggregate`` fold over the
+    lowercase token array (referenced exactly once, like the minhash
+    narrow plan) counts tokens and per-language stopword hits into one
+    struct, and the regex stats (word-piece count, fingerprint) are
+    computed in the same projection — all materialized as per-doc
+    SCALARS (eager localCheckpoint, ~60 bytes/doc; an earlier version
+    checkpointed the token arrays themselves, ~1.2 GB at C=1M, whose
+    pinned blocks degraded every operator that ran after it in the same
+    session). Every output stat derives from the stored struct. Values
+    are bit-identical to the column functions (lowercasing never alters
+    whitespace boundaries, so the lowercase token count equals the raw
+    one; parity pytest + the DuckDB `text_stats` oracle stay green).
     """
-    base = docs.select(
-        F.col(id_col).alias("doc_id"),
-        F.col(text_col).alias("text"),
-        # ONE tokenization: lowercasing never alters whitespace
-        # boundaries, so size(tokens(lower(text))) == size(tokens(text))
-        # and every stat needs either the count or the lowercase tokens
-        tokens(F.lower(F.col(text_col))).alias("tl"),
-    ).localCheckpoint(eager=True)
-    tl = F.col("tl")
-    n_tok = F.size(tl)
-    swr = _stopword_ratio_from(tl)
+    langs = sorted(LANG_STOPWORDS)  # de, en, es, fr, zh — lang_id's order
+    init = F.struct(
+        F.lit(0).alias("n"), *[F.lit(0).alias(lang) for lang in langs]
+    )
+
+    def upd(acc: Column, t: Column) -> Column:
+        return F.struct(
+            (acc["n"] + 1).alias("n"),
+            *[
+                (
+                    acc[lang]
+                    + F.when(t.isin(*LANG_STOPWORDS[lang]), 1).otherwise(0)
+                ).alias(lang)
+                for lang in langs
+            ],
+        )
+
+    from libgrape_lite_spark import transients
+
+    base = transients.transient_checkpoint(
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            bpe_ish_token_count(F.col(text_col)).cast("long").alias("n_pieces"),
+            fingerprint(F.col(text_col)).alias("fp"),
+            F.aggregate(tokens(F.lower(F.col(text_col))), init, upd).alias("st"),
+        )
+    )
+
+    st = F.col("st")
+    n_tok = st["n"]
+    # same int/int division and empty-doc 0.0 as stopword_ratio (the "en"
+    # hit count IS the stopword hit count — identical word list)
+    swr = F.when(n_tok > 0, st["en"] / n_tok).otherwise(0.0)
     quality = F.round(
         F.least(F.lit(1.0), n_tok / F.lit(64.0)) * (F.lit(0.5) + F.lit(0.5) * swr), 6
     )
+    best = None
+    for lang in langs:
+        pair = F.struct(st[lang].alias("hits"), F.lit(lang).alias("lang"))
+        best = (
+            pair if best is None
+            else F.when(st[lang] > best["hits"], pair).otherwise(best)
+        )
+    lang_guess = F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
     return base.select(
         "doc_id",
         n_tok.cast("long").alias("n_tokens"),
-        bpe_ish_token_count(F.col("text")).cast("long").alias("n_pieces"),
+        "n_pieces",
         F.round(swr, 6).alias("stopword_ratio"),
         quality.alias("quality"),
-        _lang_id_from(tl).alias("lang_guess"),
-        fingerprint(F.col("text")).alias("fp"),
+        lang_guess.alias("lang_guess"),
+        "fp",
     )

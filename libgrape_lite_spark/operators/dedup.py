@@ -65,9 +65,11 @@ def minhash_lsh_candidates(
     # higher-order-function lambda variables carry fresh exprIds that
     # defeat plan canonicalization (verified: 0 ReusedExchange in the
     # executed plan; the signature subtree appeared on both sides)
-    sig = minhash_signatures(
-        docs, id_col, text_col, num_hashes, shingle_n, hash_fn
-    ).localCheckpoint(eager=True)
+    from libgrape_lite_spark import transients
+
+    sig = transients.transient_checkpoint(
+        minhash_signatures(docs, id_col, text_col, num_hashes, shingle_n, hash_fn)
+    )
     banded = sig.select(
         "id", F.explode(minhash_bands(F.col("sig"), bands, rows)).alias("bk")
     ).select("id", "bk.band", "bk.key")
@@ -123,9 +125,17 @@ def dedup_minhash(
     """
     from libgrape_lite_spark.functions.text import shingles
 
+    from libgrape_lite_spark import transients
+
+    # once the candidate pairs are materialized, the signature checkpoint
+    # registered inside minhash_lsh_candidates is dead — free it now
+    # instead of leaving it pinned for the session
+    position = transients.mark()
     cands = minhash_lsh_candidates(
         docs, id_col, text_col, num_hashes, bands, shingle_n, bucket_cap, hash_fn
     ).localCheckpoint(eager=True)
+    transients.release_since(position)
+    transients.register(cands)
     cand_ids = (
         cands.select(F.col("a").alias(id_col))
         .union(cands.select(F.col("b").alias(id_col)))
@@ -140,12 +150,12 @@ def dedup_minhash(
     # O(candidate ids) — so the materialization is cheap and halves the
     # shingle work)
     sh = (
-        docs_in_play.select(
-            F.col(id_col).alias("id"),
-            F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
+        transients.transient_checkpoint(
+            docs_in_play.select(
+                F.col(id_col).alias("id"),
+                F.sort_array(shingles(F.col(text_col), shingle_n)).alias("sh"),
+            ).withColumn("n_sh", F.size("sh"))
         )
-        .withColumn("n_sh", F.size("sh"))
-        .localCheckpoint(eager=True)
     )
     # Candidate-bounded verify: join the (few) candidate pairs to per-doc
     # shingle arrays and intersect in place (array_intersect, JVM-side) —
@@ -215,8 +225,10 @@ def dedup_simhash(
     # self-join's two sides otherwise each recompute the full simhash
     # (one hash + 64 counter updates per token per doc) — exchange reuse
     # does not fire across HOF lambdas (see minhash_lsh_candidates)
-    sh = docs.select(F.col(id_col).alias("id"), sig.alias("sh")).localCheckpoint(
-        eager=True
+    from libgrape_lite_spark import transients
+
+    sh = transients.transient_checkpoint(
+        docs.select(F.col(id_col).alias("id"), sig.alias("sh"))
     )
 
     # band keys: contiguous bit ranges (remainder bits spread over the

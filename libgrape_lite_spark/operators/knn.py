@@ -153,8 +153,10 @@ def lsh_candidate_pairs(
     # pass — otherwise each re-run the projection kernel over the FULL
     # vector corpus (exchange reuse does not fire across Python kernels,
     # same as the HOF-lambda case in operators/dedup.py)
-    b = lsh_bucket_ids(df, id_col, vec_col, n_planes, n_tables).localCheckpoint(
-        eager=True
+    from libgrape_lite_spark import transients
+
+    b = transients.transient_checkpoint(
+        lsh_bucket_ids(df, id_col, vec_col, n_planes, n_tables)
     )
     if bucket_cap is not None:
         sizes = b.groupBy("table", "bucket").agg(F.count(F.lit(1)).alias("n"))
@@ -261,7 +263,8 @@ def kmeans_fit(
     last-ulp summation differences cannot compound across iterations.
     """
     # one cached pass over the corpus feeds every Lloyd iteration (was:
-    # re-read twice per iteration — 2×iters full scans at 100 TB)
+    # re-read twice per iteration — 2×iters full scans at 100 TB). The
+    # copy is dead once the centroids are computed — released at return
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).localCheckpoint(
         eager=True
     )
@@ -315,6 +318,9 @@ def kmeans_fit(
         if np.array_equal(new, centroids):
             break
         centroids = new
+    from libgrape_lite_spark.plans.kernels import release_pinned
+
+    release_pinned(base)
     return centroids
 
 

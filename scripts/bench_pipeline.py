@@ -145,6 +145,12 @@ def main() -> None:
             df = df()
         n = df.agg(force_agg).collect()[0][0] if force_agg is not None else df.count()
         dt = round(time.time() - t, 3)
+        # free operator-internal checkpoints so one op's pinned blocks
+        # don't degrade the next (measured: a pinned text-stats temporary
+        # made dedup_minhash 24s -> 87-109s later in the same session)
+        from libgrape_lite_spark.transients import release_transients
+
+        release_transients()
         out["ops"][name] = {
             "seconds": dt,
             "rows": n,

@@ -567,3 +567,38 @@ def test_text_stats_table_matches_column_composition(spark):
     ).orderBy("doc_id").collect()
     via_table = T.text_stats_table(docs).orderBy("doc_id").collect()
     assert [r.asDict() for r in via_table] == [r.asDict() for r in via_columns]
+
+
+def test_transient_checkpoints_released(spark):
+    """Pipeline operators register their internal checkpoints; after
+    consuming results and calling release_transients(), the executor's
+    persistent-RDD set returns to its pre-call state (no unbounded
+    accumulation of pinned blocks across a long session)."""
+    from pyspark.sql import functions as F
+
+    from libgrape_lite_spark import transients
+    from libgrape_lite_spark.functions.text import text_stats_table
+    from libgrape_lite_spark.operators.dedup import dedup_minhash, dedup_simhash
+
+    def pinned_ids():
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jmap.keySet().toArray()}
+
+    rows = [(i, f"w{i} w{i+1} w{i+2} w{i+3} common words here") for i in range(40)]
+    rows.append((40, rows[0][1]))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    before = pinned_ids()
+    n_pairs = dedup_minhash(docs, threshold=0.5).count()
+    dedup_simhash(docs, bits=64).count()
+    text_stats_table(docs).count()
+    assert len(pinned_ids()) > len(before)  # transients pinned while live
+    released = transients.release_transients()
+    assert released >= 3
+    assert pinned_ids() <= before  # back to (at most) the pre-call set
+
+    # scope form: released on exit, results consumed inside survive
+    with transients.transient_scope():
+        got = dedup_minhash(docs, threshold=0.5).count()
+    assert got == n_pairs
+    assert pinned_ids() <= before
