@@ -326,8 +326,28 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def _fresh_transients(fn):
+    """Release the PREVIOUS query's operator-internal localCheckpoint
+    blocks before building this one. The driver consumes each query's
+    result before building the next, so by the time query N+1's callable
+    runs, query N's pinned blocks are dead — without this, a full oracle
+    session accumulates every query's checkpointed signature/candidate
+    tables on the executors (ADVICE r5; libgrape_lite_spark/transients.py
+    documents the measured degradation). Callers that interleave building
+    and consuming multiple queries should not use this wrapper — use
+    transient_scope() around each consume instead."""
+
+    def wrapped(spark, sf_dir):
+        from libgrape_lite_spark.transients import release_transients
+
+        release_transients()
+        return fn(spark, sf_dir)
+
+    return wrapped
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {
+    base = {
         "transcripts_turns": _q_transcripts,
         "edge_derivation": _q_edges,
         "degrees": _q_degrees,
@@ -356,6 +376,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
     }
+    # every callable frees the previous query's transient checkpoint
+    # blocks (no-op when none are registered — cheap for graph queries)
+    return {name: _fresh_transients(fn) for name, fn in base.items()}
 
 
 # --------------------------------------------------------------------------

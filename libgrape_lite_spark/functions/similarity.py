@@ -223,7 +223,15 @@ def norm(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity; NULL when either vector has zero norm.
+
+    ``try_divide`` (not ``/``) so the zero-norm case is NULL under every
+    ANSI setting — Spark 4 defaults ``spark.sql.ansi.enabled=true``, where
+    plain division throws DIVIDE_BY_ZERO. NULL sorts last in the desc
+    ranking windows and fails every ``>= threshold`` filter, so zero-norm
+    vectors are consistently "similar to nothing" across operators.
+    """
+    return F.try_divide(dot(a, b), norm(a) * norm(b))
 
 
 def jaccard_pairs(

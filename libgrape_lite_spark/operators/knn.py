@@ -61,6 +61,9 @@ def knn_bruteforce(
         F.broadcast(q)
         .join(c, F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", cos.alias("cos"))
+        # zero-norm pairs have undefined cosine (NULL from try_divide) —
+        # excluded from ranking, matching knn_lsh / knn_ivf
+        .where(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -208,6 +211,7 @@ def knn_lsh(
         cand.join(F.broadcast(q), "query_id")
         .join(c, "neighbor_id")
         .select("query_id", "neighbor_id", F.round(cosine(F.col("qv"), F.col("cv")), 6).alias("cos"))
+        .where(F.col("cos").isNotNull())
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return scored.withColumn("rank", F.row_number().over(w)).where(F.col("rank") <= k)
@@ -396,7 +400,12 @@ def knn_ivf(
         cell_probes.setdefault(r["cell"], []).append(r["id"])
     by_cell: dict[int, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
     for cell, qids in cell_probes.items():
-        qids = sorted(qids)
+        # zero-norm queries have undefined cosine to everything — drop
+        # them here so the kernel never divides by a zero qnorm (matches
+        # knn_bruteforce/knn_lsh, where try_divide yields NULL → filtered)
+        qids = sorted(q for q in qids if np.any(qvec[q]))
+        if not qids:
+            continue
         qmat = np.vstack([qvec[qid] for qid in qids])
         # norms/dots below use sequential cumsum folds — bit-identical to
         # functions/similarity.py::norm/dot's left fold (and therefore to
@@ -421,6 +430,15 @@ def knn_ivf(
                 cmat = np.vstack(vs[m]).astype(np.float64)
                 cids = ids[m]
                 cnorm = np.sqrt(np.cumsum(cmat * cmat, axis=1)[:, -1])
+                # zero-norm corpus vectors: undefined cosine → excluded
+                # from ranking (NaN would otherwise sort ABOVE every real
+                # double in the desc top-k window — a zero vector became
+                # everyone's rank-1 neighbor before this guard)
+                ok = cnorm > 0.0
+                if not ok.all():
+                    cmat, cids, cnorm = cmat[ok], cids[ok], cnorm[ok]
+                if len(cids) == 0:
+                    continue
                 # bound the (chunk × n_queries × dim) product tensor
                 step = max(1, _SCORE_TENSOR_CAP // max(1, len(qids) * qmat.shape[1]))
                 for lo in range(0, len(cids), step):

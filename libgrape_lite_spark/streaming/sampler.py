@@ -116,7 +116,13 @@ def make_batch_processor(
       to compact_every-1 committed batches);
     * query results are written to ``<sink>/batch_id=<id>`` with overwrite
       (partition discovery restores the ``batch_id`` column) — a replayed
-      batch overwrites its own output instead of appending duplicates.
+      batch overwrites its own output instead of appending duplicates;
+    * replay fidelity is bounded by the compaction point: a replayed
+      batch_id < through (restart from a wiped/older STREAM checkpoint)
+      is answered by leaving its already-durable original sink output
+      untouched — its as-of graph is no longer reconstructible (WAL dirs
+      deleted at compaction), and rewriting against the newer compact_df
+      would corrupt byte-identical replay (ADVICE r5).
     """
     import os
     import shutil
@@ -185,6 +191,19 @@ def make_batch_processor(
             new_edges = batch_df.select("src", "dst", "weight")
             batch_queries = None
         if batch_id <= state["seen"]:
+            if batch_id < state["through"]:
+                # replay from BEFORE the compaction point (e.g. a restart
+                # against a wiped/older stream checkpoint): compaction
+                # deleted the per-batch WAL dirs needed to reconstruct the
+                # graph as of this batch, and compact_df already contains
+                # LATER batches' edges. The batch's original sink output is
+                # still durable (per-batch overwrite wrote it before the
+                # compaction), so leaving it untouched IS the
+                # byte-identical outcome; re-answering against the too-new
+                # compact_df would silently corrupt it (ADVICE r5).
+                # Replay fidelity is therefore bounded by the compaction
+                # point — batches > through reconstruct exactly.
+                return
             # replay of a batch already folded in during recovery: the WAL
             # dir backs the current state's plan, so neither rewrite nor
             # re-union. Re-answer against the graph AS OF THIS BATCH —
@@ -266,16 +285,21 @@ def parse_sampler_messages(raw: DataFrame) -> DataFrame:
     ``raw`` needs only a ``value`` column (bytes or string — the Kafka
     source's shape); works identically on streaming and batch frames, so
     the broker parse path is unit-testable without a broker. Malformed
-    lines (unknown kind, non-numeric ids) are dropped, matching the
-    reference consumer's skip-on-parse-failure. Edge lines default a
-    missing weight to 1.0; query lines carry the root in ``src``."""
+    lines (unknown kind, non-numeric ids, non-numeric weight) are dropped,
+    matching the reference consumer's skip-on-parse-failure. Edge lines
+    default an ABSENT weight to 1.0 (3-token ``e src dst``); a PRESENT
+    4th token that fails to parse drops the line — absent and unparseable
+    are distinguished (ADVICE r5), so ``e 1 2 abc`` is rejected rather
+    than silently coerced to weight 1.0. Query lines carry the root in
+    ``src``."""
     # try_element_at / try_cast: short or malformed lines yield NULLs that
     # the filter below drops (ANSI-mode-safe — element_at/cast would throw)
     toks = F.split(F.trim(F.col("value").cast("string")), " +")
     kind = F.try_element_at(toks, F.lit(1))
     src = F.try_element_at(toks, F.lit(2)).try_cast("long")
     dst = F.try_element_at(toks, F.lit(3)).try_cast("long")
-    w = F.try_element_at(toks, F.lit(4)).try_cast("double")
+    w_raw = F.try_element_at(toks, F.lit(4))
+    w = w_raw.try_cast("double")
     return (
         raw.select(
             kind.alias("kind"),
@@ -284,11 +308,18 @@ def parse_sampler_messages(raw: DataFrame) -> DataFrame:
             F.when(kind == "e", F.coalesce(w, F.lit(1.0)))
             .otherwise(F.lit(1.0))
             .alias("weight"),
+            # absent 4th token (NULL raw) → default ok; present-but-
+            # unparseable (raw non-NULL, cast NULL) → malformed, drop
+            (w_raw.isNull() | w.isNotNull()).alias("_w_ok"),
         )
         .where(
             (F.col("kind") == "q") & F.col("src").isNotNull()
-            | (F.col("kind") == "e") & F.col("src").isNotNull() & F.col("dst").isNotNull()
+            | (F.col("kind") == "e")
+            & F.col("src").isNotNull()
+            & F.col("dst").isNotNull()
+            & F.col("_w_ok")
         )
+        .drop("_w_ok")
     )
 
 

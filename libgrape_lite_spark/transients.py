@@ -16,11 +16,13 @@ session (dedup_minhash 24 s isolated → 87-109 s after it).
 Operators register every internal checkpoint here. Blocks that feed a
 RETURNED DataFrame must stay alive until the caller has consumed the
 result — so nothing is freed automatically; call
-:func:`release_transients` between operator invocations (as `bench.py`
-and `scripts/bench_pipeline.py` do), or scope work with
-:func:`transient_scope`. Operators whose internal tables are dead at
-return (k-means' vector-table copy) release them before returning via
-:func:`mark` + :func:`release_since`.
+:func:`release_transients` between operator invocations (as
+`scripts/bench_pipeline.py` does between timed ops, and as every
+`__spark_entry__.queries()` callable does on entry, so a sequential
+oracle session frees query N's pinned blocks when query N+1 is built),
+or scope work with :func:`transient_scope`. Operators whose internal
+tables are dead at return (k-means' vector-table copy) release them
+before returning via :func:`mark` + :func:`release_since`.
 """
 
 from __future__ import annotations

@@ -460,6 +460,57 @@ def test_multi_batch_replay_answers_as_of_own_batch(spark, tmp_path):
     assert replay_b2 == [(0, 1, 0, 1), (0, 2, 1, 2), (0, 3, 2, 3)]
 
 
+def test_replay_before_compaction_point_leaves_sink_untouched(spark, tmp_path):
+    """A replayed batch_id < through (restart against a wiped stream
+    checkpoint after a compaction) cannot be reconstructed as-of its own
+    batch — its WAL dirs were deleted at compaction and compact_df already
+    holds later batches' edges. The processor must leave the batch's
+    original (still durable) sink output untouched instead of
+    re-answering it against the too-new graph (ADVICE r5)."""
+    from libgrape_lite_spark.streaming import make_batch_processor
+
+    sink = str(tmp_path / "paths")
+    ckpt = str(tmp_path / "ck")
+
+    def interleaved(rows):
+        return spark.createDataFrame(
+            rows, "kind string, src long, dst long, weight double"
+        )
+
+    b0 = interleaved([("e", 0, 1, 1.0), ("q", 0, 0, 0.0)])
+    b1 = interleaved([("e", 1, 2, 1.0), ("q", 0, 0, 0.0)])
+    b2 = interleaved([("e", 2, 3, 1.0), ("q", 0, 0, 0.0)])
+
+    # compact_every=2 → compaction commits after batch 1 (through=1) and
+    # deletes WAL dirs 0 and 1
+    p1 = make_batch_processor(
+        spark, None, sink, ckpt, hops=3, fanout=2, compact_every=2
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        p1(b, i)
+
+    def sink_batch(i):
+        return sorted(
+            (r["root"], r["hop"], r["src"], r["dst"])
+            for r in spark.read.parquet(sink).where(F.col("batch_id") == i).collect()
+        )
+
+    orig = [sink_batch(i) for i in range(3)]
+    assert orig[0] == [(0, 1, 0, 1)]  # batch 0 saw only its own edge
+
+    # restart with the STREAM checkpoint wiped: all three batches replay
+    p2 = make_batch_processor(
+        spark, None, sink, ckpt, hops=3, fanout=2, compact_every=2
+    )
+    for i, b in enumerate([b0, b1, b2]):
+        p2(b, i)
+
+    # batch 0 (< through): original output preserved byte-for-byte — a
+    # rewrite against compact_df would have added (1,2); batches 1 and 2
+    # (>= through) reconstruct exactly and match their originals
+    assert [sink_batch(i) for i in range(3)] == orig
+
+
 def test_parse_sampler_messages_line_protocol(spark):
     """The Kafka value parser (reference line protocol, kafka_consumer.h:104)
     works identically on batch frames — broker parity is provable without a
@@ -476,6 +527,9 @@ def test_parse_sampler_messages_line_protocol(spark):
             ("x 1 2",),          # unknown kind -> dropped
             ("e 1",),            # edge without dst -> dropped
             ("q abc",),          # non-numeric root -> dropped
+            ("e 1 2 abc",),      # PRESENT but non-numeric weight -> dropped
+            #   (ADVICE r5: absent weight defaults, unparseable drops —
+            #    coercing 'abc' to 1.0 contradicted skip-on-parse-failure)
         ],
         "value string",
     )
