@@ -6,6 +6,12 @@ edges-processed/sec — reported as the MEDIAN of three back-to-back runs
 inside this one invocation (raw triple in "pagerank_runs_sec"), so a
 single host-noise spike can't set the record either way.
 
+Round 6 (VERDICT r5 task 2): EVERY operator gets the same treatment —
+three back-to-back runs in this one JVM, the quoted number is the
+median, raw triples recorded under "op_runs_sec". The judge's two
+back-to-back r5 runs differed 1.5-2× on single-measurement operators
+with zero code change; sub-2× round-over-round comparisons were blind.
+
 Protocol (fixed in round 5, VERDICT r4 items 1+3): the timed
 ``graph_build`` step prebuilds EVERY shared prepared layout via
 ``plans.kernels.prepare_graph`` — fragment bounds, PIE fragment table,
@@ -90,50 +96,53 @@ def main() -> None:
         "prep_tables": round(t_prep, 3),  # informational subset of graph_build
     }
 
-    def timed(name, fn):
-        t = time.time()
-        df = fn()
-        df.count()  # force full evaluation
-        dt = time.time() - t
-        timings[name] = round(dt, 3)
-        return dt
+    op_runs: dict[str, list[float]] = {}
 
-    # headline: median of three back-to-back runs (all warm — prep tables
-    # were built in graph_build; raw triple recorded)
-    pr_runs = []
-    for i in range(PR_REPEATS):
-        pr_runs.append(
-            round(
-                timed(
-                    f"pagerank_run{i}",
-                    lambda: pagerank(vertices, edges, max_rounds=PR_ROUNDS),
-                ),
-                3,
-            )
-        )
-    for i in range(PR_REPEATS):
-        timings.pop(f"pagerank_run{i}", None)
-    pr_sec = statistics.median(pr_runs)
-    timings["pagerank"] = pr_sec
+    def timed(name, fn, repeats=PR_REPEATS):
+        """Median of ``repeats`` back-to-back runs (one JVM, all warm —
+        prep tables were built in graph_build). Raw triples go to
+        op_runs_sec; transients (final superstep states) are released
+        between runs so no run pays for a predecessor's pinned blocks."""
+        from libgrape_lite_spark.transients import release_transients
+
+        runs = []
+        for _ in range(repeats):
+            t = time.time()
+            df = fn()
+            df.count()  # force full evaluation
+            runs.append(round(time.time() - t, 3))
+            release_transients()
+        op_runs[name] = runs
+        timings[name] = statistics.median(runs)
+        return timings[name]
+
+    # headline first (unchanged protocol position)
+    timed("pagerank", lambda: pagerank(vertices, edges, max_rounds=PR_ROUNDS))
+    pr_runs = op_runs["pagerank"]
+    pr_sec = timings["pagerank"]
 
     # convergence-mode PR (the metric's "to 1e-6 convergence" clause)
     from libgrape_lite_spark.plans.superstep import IterationDriver
 
-    conv_drv = IterationDriver(spark)
-    timed(
-        "pagerank_to_1e6",
-        lambda: pagerank(vertices, edges, max_rounds=100, tol=1e-6, driver=conv_drv),
-    )
-    conv_rounds = len(conv_drv.metrics)
+    conv_drvs = []
+
+    def conv_pr():
+        drv = IterationDriver(spark)
+        conv_drvs.append(drv)
+        return pagerank(vertices, edges, max_rounds=100, tol=1e-6, driver=drv)
+
+    timed("pagerank_to_1e6", conv_pr)
+    conv_rounds = len(conv_drvs[-1].metrics)
 
     timed("wcc", lambda: wcc(vertices, edges))  # default impl = auto (PIE)
     timed("wcc_dataframe", lambda: wcc(vertices, edges, impl="dataframe"))
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("cdlp_kernel", lambda: cdlp(vertices, edges, max_rounds=10, impl="kernel"))
-    # default impl = dataframe (push) since r05 — won all three committed
-    # fair-protocol runs; bfs_auto keeps the PIE impl on record
+    # default impl = auto (PIE) since r06 — settled by the paired
+    # interleaved A/B protocol (scripts/bench_bfs_ab.py, committed run in
+    # BENCH/runs/); bfs_push keeps the dataframe impl on record
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
-    timed("bfs_auto", lambda: bfs(vertices, edges, source=source_id, impl="auto"))
+    timed("bfs_push", lambda: bfs(vertices, edges, source=source_id, impl="dataframe"))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))
     timed("sssp_auto", lambda: sssp(vertices, edges, source=source_id, impl="auto"))
     timed("lcc", lambda: lcc(vertices, edges))
@@ -150,6 +159,7 @@ def main() -> None:
         "n_vertices": n_vertices,
         "n_edges": n_edges,
         "pagerank_runs_sec": pr_runs,
+        "op_runs_sec": op_runs,
         "pr_supersteps_per_sec": round(PR_ROUNDS / pr_sec, 3) if pr_sec else 0.0,
         "pr_rounds_to_1e6": conv_rounds,
         "pr_conv_supersteps_per_sec": round(

@@ -33,12 +33,14 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from libgrape_lite_spark.plans.kernels import graph_op
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
 INT64_MAX = (1 << 63) - 1
 
 
+@graph_op
 def bfs(
     vertices: DataFrame,
     edges: DataFrame,

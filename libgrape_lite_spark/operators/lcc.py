@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
+from libgrape_lite_spark.plans.kernels import graph_op
 
 
+@graph_op
 def triangle_counts(
     vertices: DataFrame, edges: DataFrame, impl: str = "intersect",
     degree_threshold: int | None = None,
@@ -124,6 +126,7 @@ def triangle_counts(
     return corners.groupBy("id").agg(F.count(F.lit(1)).alias("tri"))
 
 
+@graph_op
 def lcc(
     vertices: DataFrame, edges: DataFrame, degree_threshold: int | None = None
 ) -> DataFrame:

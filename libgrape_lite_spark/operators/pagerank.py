@@ -41,10 +41,12 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
+from libgrape_lite_spark.plans.kernels import graph_op
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
 
+@graph_op
 def pagerank(
     vertices: DataFrame,
     edges: DataFrame,
@@ -231,6 +233,7 @@ def pagerank(
     )
 
 
+@graph_op
 def pagerank_local(
     vertices: DataFrame,
     edges: DataFrame,

@@ -21,10 +21,12 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from libgrape_lite_spark.plans.kernels import graph_op
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
 
+@graph_op
 def sssp(
     vertices: DataFrame,
     edges: DataFrame,

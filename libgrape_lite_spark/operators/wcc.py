@@ -35,10 +35,12 @@ from pyspark.sql import functions as F
 
 from libgrape_lite_spark.functions.edges import undirected
 from libgrape_lite_spark.plans.kernels import push_adjacency_table
+from libgrape_lite_spark.plans.kernels import graph_op
 from libgrape_lite_spark.plans.superstep import IterationDriver
 from libgrape_lite_spark.session import static_plans
 
 
+@graph_op
 def wcc(
     vertices: DataFrame,
     edges: DataFrame,

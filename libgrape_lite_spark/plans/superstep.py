@@ -110,12 +110,23 @@ class IterationDriver:
         return out
 
     def _gc(self, keep: DataFrame) -> None:
-        for old in self._persisted:
-            try:
-                old.unpersist()
-            except Exception:
-                pass
-        self._persisted = [keep]
+        # release_pinned, NOT DataFrame.unpersist(): a localCheckpoint pins
+        # an RDD under a LogicalRDD leaf that only an RDD-level unpersist
+        # frees — df.unpersist() alone leaked one O(V) block per superstep
+        # per invocation for the executor's lifetime (caught runtime-wise
+        # in round 6; plans/kernels.py release_pinned docstring documents
+        # the same trap for prepared layouts).
+        #
+        # DOUBLE BUFFERING: keep the current AND previous state, free the
+        # grandparent. Operators legitimately read the previous state
+        # after materializing the new one (wcc_twostar's set-stability
+        # subtract, convergence-delta checks) — the same cur/next pair the
+        # reference keeps per round (worker.h round structure).
+        from libgrape_lite_spark.plans.kernels import release_pinned
+
+        self._persisted.append(keep)
+        while len(self._persisted) > 2:
+            release_pinned(self._persisted.pop(0))
 
     def _step_path(self, step: int) -> str:
         return os.path.join(self.checkpoint_dir, self.run_id, f"step={step}")
@@ -158,7 +169,18 @@ class IterationDriver:
     def finish(self) -> None:
         """Write per-superstep lineage metrics (run_id, superstep, active,
         t_ms, extra) — the 'per-partition lineage + metrics to Iceberg'
-        requirement; parquet stands in for Iceberg in this sandbox."""
+        requirement; parquet stands in for Iceberg in this sandbox.
+
+        Also hands the FINAL materialized state to the transients registry:
+        it must outlive this driver (the operator's returned DataFrame
+        reads it), so it is freed by the caller's release_transients() /
+        transient_scope() once the result is consumed — the same lifecycle
+        as the pipeline operators' internal checkpoints."""
+        from libgrape_lite_spark import transients
+
+        for df in self._persisted:
+            transients.register(df)
+        self._persisted = []
         if not self.metrics_path or not self.metrics:
             return
         rows = [

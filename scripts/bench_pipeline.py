@@ -20,6 +20,13 @@ row-at-a-time Python (BatchEvalPython); ArrowEvalPython/ FlatMapsInPandas
 clock + loadavg) go to BENCH/runs/pipeline_<epoch>.json and one JSON
 line on stdout.
 
+Round 6 (VERDICT r5 task 3): every operator is timed THREE times inside
+this one invocation and the quoted capability number is that median
+("seconds"; raw triple in "runs_sec") — replacing the r5 "per-op BEST
+across committed runs" convention, which systematically selected noise
+minima on a ±40% box (dedup_simhash's best-of record spanned 16.3-46.6 s
+on identical code).
+
 Run:  python scripts/bench_pipeline.py [n_docs] [n_vectors]
 """
 
@@ -27,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -37,6 +45,7 @@ sys.path.insert(0, str(REPO))
 DIM = 32
 N_QUERIES = 500
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+REPEATS = 3
 
 
 def synth_documents(spark, n: int):
@@ -134,28 +143,41 @@ def main() -> None:
         "ops": {},
     }
 
-    def timed(name, df, force_agg=None):
+    def timed(name, thunk, force_agg=None, rate_key="docs_per_sec", rate_n=None):
         # count() lets Catalyst prune unreferenced projections — a pure
         # per-doc map op must be forced through an aggregate over its
         # computed column instead. Operators that materialize eagerly at
         # call time (dedup_minhash checkpoints its candidate set) are
         # passed as thunks so their construction is INSIDE the window.
-        t = time.time()
-        if callable(df):
-            df = df()
-        n = df.agg(force_agg).collect()[0][0] if force_agg is not None else df.count()
-        dt = round(time.time() - t, 3)
-        # free operator-internal checkpoints so one op's pinned blocks
-        # don't degrade the next (measured: a pinned text-stats temporary
-        # made dedup_minhash 24s -> 87-109s later in the same session)
+        # Median of REPEATS back-to-back runs in this one JVM (r6
+        # convention — see module docstring).
         from libgrape_lite_spark.transients import release_transients
 
-        release_transients()
+        runs: list[float] = []
+        n = 0
+        audit: dict = {}
+        for _ in range(REPEATS):
+            t = time.time()
+            df = thunk() if callable(thunk) else thunk
+            n = (
+                df.agg(force_agg).collect()[0][0]
+                if force_agg is not None
+                else df.count()
+            )
+            runs.append(round(time.time() - t, 3))
+            # free operator-internal checkpoints so one run's pinned blocks
+            # don't degrade the next (measured: a pinned text-stats
+            # temporary made dedup_minhash 24s -> 87-109s later in the
+            # same session)
+            release_transients()
+            audit = plan_audit(df)
+        med = statistics.median(runs)
         out["ops"][name] = {
-            "seconds": dt,
+            "seconds": med,
+            "runs_sec": runs,
             "rows": n,
-            "docs_per_sec": round(n_docs / dt, 1),
-            **plan_audit(df),
+            rate_key: round((rate_n if rate_n is not None else n_docs) / med, 1),
+            **audit,
         }
 
     from libgrape_lite_spark.functions.text import text_stats_table
@@ -193,18 +215,14 @@ def main() -> None:
             hash_fn="xxhash64",
         ),
     )
-    t = time.time()
-    knn = knn_ivf(
-        emb, queries, k=10, n_centroids=256, n_probe=8, kmeans_iters=2
+    timed(
+        "knn_ivf",
+        lambda: knn_ivf(
+            emb, queries, k=10, n_centroids=256, n_probe=8, kmeans_iters=2
+        ),
+        rate_key="vectors_per_sec",
+        rate_n=n_vecs,
     )
-    n = knn.count()
-    dt = round(time.time() - t, 3)
-    out["ops"]["knn_ivf"] = {
-        "seconds": dt,
-        "rows": n,
-        "vectors_per_sec": round(n_vecs / dt, 1),
-        **plan_audit(knn),
-    }
 
     out["wall_clock_start_epoch"] = round(wall_start, 3)
     out["wall_clock_end_epoch"] = round(time.time(), 3)
