@@ -139,8 +139,9 @@ def main() -> None:
     timed("cdlp", lambda: cdlp(vertices, edges, max_rounds=10))
     timed("cdlp_kernel", lambda: cdlp(vertices, edges, max_rounds=10, impl="kernel"))
     # default impl = auto (PIE) since r06 — settled by the paired
-    # interleaved A/B protocol (scripts/bench_bfs_ab.py, committed run in
-    # BENCH/runs/); bfs_push keeps the dataframe impl on record
+    # interleaved A/B protocol (scripts/bench_bfs_ab.py; raw run
+    # BENCH/runs/bfs_ab_1787008317.json: auto won 10/12 pairs, median
+    # paired delta 0.271 s); bfs_push keeps the dataframe impl on record
     timed("bfs", lambda: bfs(vertices, edges, source=source_id))
     timed("bfs_push", lambda: bfs(vertices, edges, source=source_id, impl="dataframe"))
     timed("sssp", lambda: sssp(vertices, edges, source=source_id))

@@ -48,7 +48,7 @@ def bfs(
     directed: bool = False,
     driver: IterationDriver | None = None,
     max_rounds: int | None = None,
-    impl: str = "dataframe",
+    impl: str = "auto",
     num_fragments: int | None = None,
     broadcast_rows: int = 1_000_000,
     dense_fraction: float = 0.05,
@@ -56,20 +56,23 @@ def bfs(
 ) -> DataFrame:
     """Returns DataFrame(id: long, depth: long); unreached depth = int64 max.
 
-    ``impl="dataframe"`` (default) is the frontier push — cheaper per
-    round when frontiers are tiny relative to the graph. Default settled
-    on the round-5 fixed bench protocol (all shared prep tables prebuilt
-    in graph_build, so both impls measure supersteps only) over SIX
-    committed sf0.1 runs: push 5.71/6.33/5.22/5.97/5.60/7.38 s vs auto
-    7.11/11.46/6.24/4.29/3.98/5.57 s
-    (BENCH/runs/bench_1786961{703,831,975}.json + bench_1786968{410,712,854}.json).
-    Medians tie (5.84 vs 5.90 s) but the split is conditions, not noise:
-    auto's Arrow-cogroup Python workers win every idle-host run and lose
-    every moderately-loaded one (spread 3.98-11.46 s vs push's 5.22-7.38);
-    push is the lower-variance choice for unknown host conditions, and
-    ties the median. Deep or dense graphs are covered by the direction
-    switch below, which hands the remaining levels to the same PIE kernel
-    auto uses. Two guard rails
+    ``impl="auto"`` (default) — settled in round 6 by the PAIRED
+    interleaved A/B protocol (scripts/bench_bfs_ab.py, raw:
+    BENCH/runs/bfs_ab_1787008317.json): 12 pairs alternating both impls
+    back-to-back in one JVM with within-pair order flipped per pair —
+    auto won 10 of 12 pairs, median paired delta 0.271 s (push 5.597 s vs
+    auto 5.248 s medians). This replaces the r5 push default, which was
+    chosen by comparing medians ACROSS separate runs on a ±40% bursty
+    box and was contradicted by every subsequent on-record run (driver
+    BENCH_r05 and both r5 judge runs, including under load); the r5
+    "push is loaded-host-robust" claim did not survive the paired design
+    and is retired. At sf0.1 the two are within ~6% — the default matters
+    less than the protocol that set it.
+
+    ``impl="dataframe"`` is the frontier push — cheaper per round when
+    frontiers are tiny relative to the graph; deep or dense graphs are
+    covered by its direction switch, which hands the remaining levels to
+    the same PIE kernel auto uses. Two guard rails
     for the non-tiny case:
 
     * a per-round frontier delta joins via **broadcast only below
@@ -84,12 +87,11 @@ def bfs(
       switch (bfs.h:126-178): both trade per-edge frontier work for a
       whole-graph dense pass once the frontier stops being sparse.
 
-    ``impl="auto"`` — bfs_auto parity (bfs_auto.h: depth is the
+    The auto impl is bfs_auto parity (bfs_auto.h: depth is the
     unit-weight shortest distance, same fixpoint): range-partitioned
     fragments settle their local levels in one superstep via the
     Bellman-Ford kernel with w=1; global rounds count cross-fragment
-    hops. Identical output (golden-verified); pick it explicitly for
-    graphs whose diameter is large relative to the fragment count.
+    hops. Identical output to push (golden-verified, both impls).
     """
     if impl not in ("dataframe", "auto"):
         raise ValueError(f"impl must be dataframe|auto, got {impl!r}")
