@@ -50,10 +50,23 @@ def cdlp(
 ) -> DataFrame:
     """Returns DataFrame(id: long, label: long).
 
-    ``impl="kernel"`` — per-fragment vote pre-counting (np.unique over
-    (voter, label) pairs, plans/kernels.py::gather_label_counts); only
-    partial counts shuffle. ``"dataframe"`` (default) — join + two-level
-    aggregate.
+    ``impl="kernel"`` — per-fragment vote pre-counting (factorized pair
+    counting, plans/kernels.py::gather_label_counts); only partial counts
+    shuffle. ``"dataframe"`` (default) — join + two-level aggregate.
+
+    WHEN TO USE WHICH (profiled round 6,
+    BENCH/runs/cdlp_profile_1787008995.json): at sf0.1 the kernel gather
+    runs ~3× the dataframe gather per round (1.28 vs 0.38 s median) and
+    the gap is NOT kernel math — it is the per-round Arrow/cogroup
+    transfer of the pinned adjacency into stateless Python workers, a
+    constant the dataframe path's all-JVM join never pays. The kernel
+    path earns that constant back only when per-fragment pre-counting
+    collapses shuffle volume the JVM aggregate cannot: hub-salted skew
+    (a hub dst's votes pre-merge inside each salted sub-fragment) or
+    heavy parallel-edge multiplicity. Default to ``dataframe``; the auto
+    hub-salting handles moderate skew there too — reach for ``kernel``
+    only on salted power-law graphs where the dataframe two-level
+    aggregate's first-level fan-out is itself the bottleneck.
 
     ``hub_salts`` — hub-skew protection behind the SAME auto detection
     PageRank uses (plans/kernels.py::hub_salt_verdict, reading the

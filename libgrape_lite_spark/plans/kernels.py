@@ -325,10 +325,30 @@ def gather_label_counts(
         )
         src = src[valid]
         vote = labels_sorted[pos[valid]]
-        pairs = np.stack([src, vote], axis=1)
-        uniq, counts = np.unique(pairs, axis=0, return_counts=True)
+        if len(src) == 0:  # every dst unresolved in this fragment
+            return pd.DataFrame(
+                {"id": np.array([], dtype=np.int64),
+                 "label": np.array([], dtype=np.int64),
+                 "cnt": np.array([], dtype=np.int64)}
+            )
+        # factorized 1-D pair counting: two int64 uniques + one packed-key
+        # unique instead of np.unique(pairs, axis=0) — the axis=0 form
+        # sorts void-dtype row bytes and measured 7x slower at fragment
+        # size (34.7 vs 4.9 ms on a 52k-edge fragment,
+        # BENCH/runs/cdlp_profile_1787008995.json); the gap grows with
+        # fragment size, which is exactly the 100 TB direction. The packed
+        # key s_inv*n_labels+v_inv stays within int64: both factors are
+        # bounded by the fragment's edge count.
+        su, s_inv = np.unique(src, return_inverse=True)
+        vu, v_inv = np.unique(vote, return_inverse=True)
+        key = s_inv.astype(np.int64) * len(vu) + v_inv
+        uk, counts = np.unique(key, return_counts=True)
         return pd.DataFrame(
-            {"id": uniq[:, 0], "label": uniq[:, 1], "cnt": counts.astype(np.int64)}
+            {
+                "id": su[uk // len(vu)],
+                "label": vu[uk % len(vu)],
+                "cnt": counts.astype(np.int64),
+            }
         )
 
     base = state.select("id", label_col)
