@@ -303,6 +303,42 @@ def _q_text_stats(spark, sf_dir):
     return text_stats_table(_docs(spark, sf_dir))
 
 
+def _q_edge_mutation(spark, sf_dir):
+    """Incremental mutation (MutableEdgecutFragment::Mutate parity,
+    mutable_edgecut_fragment.h:191) as an oracle-gated query: derive a
+    DETERMINISTIC delta from the edge table itself — delete the 50
+    (src, dst)-smallest edges, bump the weight of the next 50, add 25
+    synthetic edges — apply it with mutation.merge_edges, and return the
+    merged rows. The DuckDB mirror applies the same delta with plain SQL
+    set operations; (src_oid, dst_oid) pairs are globally unique across
+    etypes (prefix-disjoint oid namespaces), so the rank order is total
+    and both engines pick identical delta rows."""
+    from pyspark.sql.window import Window
+
+    from libgrape_lite_spark.mutation import merge_edges
+
+    base = _q_edges(spark, sf_dir).select(
+        F.col("src_oid").alias("src"), F.col("dst_oid").alias("dst"), "weight"
+    )
+    ranked = base.withColumn(
+        "rn", F.row_number().over(Window.orderBy("src", "dst"))
+    )
+    dels = ranked.where(F.col("rn") <= 50).select(
+        F.lit("del").alias("op"), "src", "dst", "weight"
+    )
+    upds = ranked.where((F.col("rn") > 50) & (F.col("rn") <= 100)).select(
+        F.lit("upd").alias("op"), "src", "dst", (F.col("weight") + 1.0).alias("weight")
+    )
+    adds = spark.range(25).select(
+        F.lit("add").alias("op"),
+        F.concat(F.lit("mut::"), F.col("id")).alias("src"),
+        F.concat(F.lit("mutdst::"), F.col("id")).alias("dst"),
+        F.lit(1.0).alias("weight"),
+    )
+    delta = dels.unionByName(upds).unionByName(adds)
+    return merge_edges(base, delta).select("src", "dst", "weight")
+
+
 def _q_multimodal_bytes(spark, sf_dir):
     d = _docs(spark, sf_dir)
     payload = F.encode(F.col("text"), "UTF-8")
@@ -375,6 +411,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dedup": _q_embedding_dedup,
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
+        "edge_mutation": _q_edge_mutation,
     }
     # every callable frees the previous query's transient checkpoint
     # blocks (no-op when none are registered — cheap for graph queries)
@@ -946,6 +983,25 @@ def _sql_multimodal() -> str:
 FROM documents"""
 
 
+def _sql_edge_mutation() -> str:
+    """SQL mirror of _q_edge_mutation: delete rank 1-50, bump weight of
+    rank 51-100, append 25 synthetic edges. (src, dst) is unique in the
+    derived edge table, so ROW_NUMBER ordered by (src, dst) is total and
+    both engines pick identical delta rows."""
+    return f"""WITH {_EDGES},
+base AS (SELECT src_oid AS src, dst_oid AS dst, weight FROM edges),
+ranked AS (
+  SELECT src, dst, weight, ROW_NUMBER() OVER (ORDER BY src, dst) AS rn FROM base
+)
+SELECT src, dst,
+       CASE WHEN rn > 50 AND rn <= 100 THEN weight + 1.0 ELSE weight END AS weight
+FROM ranked WHERE rn > 50
+UNION ALL
+SELECT 'mut::' || CAST(i AS VARCHAR), 'mutdst::' || CAST(i AS VARCHAR),
+       CAST(1.0 AS DOUBLE)
+FROM range(25) t(i)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_turns": f"WITH {_TRANSCRIPTS} SELECT conv_id, turn_idx, role, tool, text FROM transcripts",
@@ -975,4 +1031,5 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup": _sql_embedding_dedup(),
         "text_stats": _sql_text_stats(),
         "multimodal_bytes": _sql_multimodal(),
+        "edge_mutation": _sql_edge_mutation(),
     }
