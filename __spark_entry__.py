@@ -336,7 +336,12 @@ def _q_edge_mutation(spark, sf_dir):
         F.lit(1.0).alias("weight"),
     )
     delta = dels.unionByName(upds).unionByName(adds)
-    return merge_edges(base, delta).select("src", "dst", "weight")
+    from libgrape_lite_spark import transients
+
+    # the merged table is pinned (caller-owned, like a loaded graph);
+    # register it so the next query's build releases it
+    merged = transients.register(merge_edges(base, delta))
+    return merged.select("src", "dst", "weight")
 
 
 def _q_multimodal_bytes(spark, sf_dir):
