@@ -72,9 +72,18 @@ def main() -> None:
                 # the default). A real cluster job wants this too.
                 "spark.locality.wait": "0s",
                 # loopback/fast-fabric: compression costs CPU, the scarce
-                # resource here; shuffle bytes are cheap
-                "spark.shuffle.compress": "false",
-                "spark.shuffle.spill.compress": "false",
+                # resource here; shuffle bytes are cheap AT SMALL INPUTS.
+                # r6 C=4M diagnosis: with 4x the bytes, the 4N leg's
+                # cross-executor fetch stages cost 4-8x the N leg's
+                # task-seconds (stage-level task accounting from the
+                # executor logs, scaling_1787016361.json run) — so the
+                # default flips to compressed at C >= 2M; override with
+                # SPARK_GRAFT_SHUFFLE_COMPRESS=0/1.
+                "spark.shuffle.compress": os.environ.get(
+                    "SPARK_GRAFT_SHUFFLE_COMPRESS",
+                    "true" if n_conversations >= 2_000_000 else "false",
+                ).replace("0", "false").replace("1", "true"),
+                "spark.shuffle.spill.compress": "true",
             },
         )
         spark.sparkContext.addPyFile(str(pyzip))
