@@ -20,6 +20,18 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 PR_ROUNDS = int(os.environ.get("SPARK_GRAFT_PR_ROUNDS", "10"))
 
 
+def _shuffle_compress(n_conversations: int) -> str:
+    """"true"/"false" for the leg's shuffle codecs. Default flips to
+    compressed at C >= 2M (r6 C=4M diagnosis: uncompressed cross-executor
+    fetches cost 4-8x task-seconds at 4x the bytes). Override with
+    SPARK_GRAFT_SHUFFLE_COMPRESS=0/1/true/false — parsed via explicit map,
+    not substring replace (ADVICE r6: "10" became "truefalse")."""
+    env = os.environ.get("SPARK_GRAFT_SHUFFLE_COMPRESS")
+    if env is not None:
+        return {"0": "false", "1": "true"}.get(env, env)
+    return "true" if n_conversations >= 2_000_000 else "false"
+
+
 def main() -> None:
     cores = int(sys.argv[1])
     n_conversations = int(sys.argv[2])
@@ -79,11 +91,12 @@ def main() -> None:
                 # executor logs, scaling_1787016361.json run) — so the
                 # default flips to compressed at C >= 2M; override with
                 # SPARK_GRAFT_SHUFFLE_COMPRESS=0/1.
-                "spark.shuffle.compress": os.environ.get(
-                    "SPARK_GRAFT_SHUFFLE_COMPRESS",
-                    "true" if n_conversations >= 2_000_000 else "false",
-                ).replace("0", "false").replace("1", "true"),
-                "spark.shuffle.spill.compress": "true",
+                "spark.shuffle.compress": _shuffle_compress(n_conversations),
+                # spills are rare at these sizes; keep the spill codec in
+                # lockstep with the wire codec so a leg is either fully
+                # compressed or fully raw (ADVICE r6: it was silently
+                # flipped to "true" unconditionally for one round)
+                "spark.shuffle.spill.compress": _shuffle_compress(n_conversations),
             },
         )
         spark.sparkContext.addPyFile(str(pyzip))

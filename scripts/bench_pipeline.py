@@ -153,12 +153,16 @@ def main() -> None:
         # convention — see module docstring).
         from libgrape_lite_spark.transients import release_transients
 
+        # thunks only (ADVICE r6): a non-callable frame re-counted after
+        # release_transients() would recompute — or fail — if its plan read
+        # a registered localCheckpoint whose lineage is truncated
+        assert callable(thunk), f"{name}: pass a thunk, not a DataFrame"
         runs: list[float] = []
         n = 0
         audit: dict = {}
         for _ in range(REPEATS):
             t = time.time()
-            df = thunk() if callable(thunk) else thunk
+            df = thunk()
             n = (
                 df.agg(force_agg).collect()[0][0]
                 if force_agg is not None
@@ -199,7 +203,7 @@ def main() -> None:
     # shingles md5 evaluation dominated the minhash wall time)
     timed(
         "simhash_signatures",
-        docs.select(
+        lambda: docs.select(
             "doc_id", simhash_bits(F.col("text"), 64, hash_fn="xxhash64").alias("sh")
         ),
         force_agg=F.count_distinct(F.col("sh")),

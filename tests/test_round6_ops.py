@@ -295,11 +295,17 @@ def test_merge_edges_topology_delta_does_not_carry_degree_stats(spark):
         prepare_graph,
     )
 
+    from libgrape_lite_spark.plans.kernels import cached_degree_stats
+
     base = make_edges(spark, [(1, 2, 1.0), (2, 3, 1.0), (3, 4, 1.0)])
     v = make_vertices(spark, range(1, 5))
-    prepare_graph(v, base, num_fragments=4)
+    prep = prepare_graph(v, base, num_fragments=4)
     cached_edge_balanced_bounds(base, 4, key="src")
-    assert getattr(base, _DEGREE_STATS_ATTR, None) is not None or True
+    # prepare_graph builds the degree TABLE; the stats memo is set by the
+    # aggregate in cached_degree_stats (pagerank's path) — run it so the
+    # precondition "stats existed on base" is real, then assert it.
+    cached_degree_stats(base, v, prep["gather_src"], directed=False)
+    assert getattr(base, _DEGREE_STATS_ATTR, None) is not None
 
     delta = spark.createDataFrame(
         [("add", 4, 5, 1.0)], "op string, src long, dst long, weight double"
