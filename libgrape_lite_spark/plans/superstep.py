@@ -90,7 +90,8 @@ class IterationDriver:
         # (e.g. pagerank's auto hub-salt verdict) — kept out of `metrics`
         # so per-superstep counts stay exact
         self.info: dict = {}
-        self._persisted: list[DataFrame] = []
+        # (state DataFrame, pinned JVM RDD ids captured at materialize)
+        self._persisted: list[tuple[DataFrame, tuple[int, ...]]] = []
 
     # -- state materialization -------------------------------------------
     def materialize(self, df: DataFrame, step: int) -> DataFrame:
@@ -110,23 +111,56 @@ class IterationDriver:
         return out
 
     def _gc(self, keep: DataFrame) -> None:
-        # release_pinned, NOT DataFrame.unpersist(): a localCheckpoint pins
-        # an RDD under a LogicalRDD leaf that only an RDD-level unpersist
-        # frees — df.unpersist() alone leaked one O(V) block per superstep
-        # per invocation for the executor's lifetime (caught runtime-wise
-        # in round 6; plans/kernels.py release_pinned docstring documents
-        # the same trap for prepared layouts).
+        # RDD-level release, NOT DataFrame.unpersist(): a localCheckpoint
+        # pins an RDD under a LogicalRDD leaf that only an RDD-level
+        # unpersist frees — df.unpersist() alone leaked one O(V) block per
+        # superstep per invocation for the executor's lifetime (caught
+        # runtime-wise in round 6; plans/kernels.py release_pinned
+        # docstring documents the same trap for prepared layouts).
         #
         # DOUBLE BUFFERING: keep the current AND previous state, free the
         # grandparent. Operators legitimately read the previous state
         # after materializing the new one (wcc_twostar's set-stability
         # subtract, convergence-delta checks) — the same cur/next pair the
         # reference keeps per round (worker.h round structure).
-        from libgrape_lite_spark.plans.kernels import release_pinned
+        #
+        # Release path (r7, measured): capture the pinned RDD ids ONCE at
+        # materialize time (the plan is exactly one fresh LogicalRDD) and
+        # free the grandparent with a single ``SparkContext.unpersistRDD``
+        # py4j call — ~4 ms/round vs ~10 ms for the r6 per-release plan
+        # walk + useless cache-manager unpersist. SPARK_GRAFT_GC_MODE is
+        # a measurement knob for scripts/bench_pr_ab.py ONLY:
+        #   ids   (default) — by-id release, keep 2
+        #   keep2 — the r6-shipped release_pinned plan walk, keep 2
+        #   r5    — the round-5 behavior: df.unpersist() no-op, keep 1,
+        #           LEAKS every superstep block (paired-A/B control arm)
+        mode = os.environ.get("SPARK_GRAFT_GC_MODE", "ids")
+        from libgrape_lite_spark.plans.kernels import _pinned_rdd_ids, release_pinned
 
-        self._persisted.append(keep)
+        ids = tuple(_pinned_rdd_ids(keep)) if mode == "ids" else ()
+        self._persisted.append((keep, ids))
+        if mode == "r5":
+            while len(self._persisted) > 1:
+                old, _ = self._persisted.pop(0)
+                try:
+                    old.unpersist()
+                except Exception:
+                    pass
+            return
         while len(self._persisted) > 2:
-            release_pinned(self._persisted.pop(0))
+            old, old_ids = self._persisted.pop(0)
+            if mode == "ids" and old_ids:
+                self._unpersist_ids(old_ids)
+            else:
+                release_pinned(old)
+
+    def _unpersist_ids(self, ids) -> None:
+        try:
+            jsc = self.spark.sparkContext._jsc.sc()
+            for rid in ids:
+                jsc.unpersistRDD(rid, False)
+        except Exception:
+            pass
 
     def _step_path(self, step: int) -> str:
         return os.path.join(self.checkpoint_dir, self.run_id, f"step={step}")
@@ -178,7 +212,7 @@ class IterationDriver:
         as the pipeline operators' internal checkpoints."""
         from libgrape_lite_spark import transients
 
-        for df in self._persisted:
+        for df, _ids in self._persisted:
             transients.register(df)
         self._persisted = []
         if not self.metrics_path or not self.metrics:
