@@ -3,33 +3,44 @@
 
 The reference applies a ``Mutation`` (edges_to_add / edges_to_remove /
 edges_to_update / vertices_to_remove) to a LOADED fragment in place,
-keeping the CSR and vertex maps it already built. The existing Spark
-parity path (sources/tsv.py load_mutable_graph_tsv) rebuilds the graph
-from base+delta — correct and golden-verified, but it re-pays every
-layout shuffle. :func:`merge_edges` closes the gap:
+keeping the CSR and vertex maps it already built and patching only the
+segments the delta touches. The existing Spark parity path
+(sources/tsv.py load_mutable_graph_tsv) rebuilds the graph from
+base+delta — correct and golden-verified, but it re-pays every layout
+shuffle. :func:`merge_edges` closes the gap in two tiers:
 
 * the merged edge table is derived from the BASE's pinned table with
   **zero wide shuffles** — removal is an anti-join against the
-  (broadcastable, delta-sized) removal set, weight update a
-  delta-broadcast left join, addition a union — then pinned;
-* prepared layouts whose inputs the delta did not touch are **carried
-  over** into the merged table's cache instead of rebuilt: a weight-only
-  delta keeps every topology-derived layout (push-unweighted, gather
-  src/dst, CDLP kernel layout, degree table, fragment bounds, degree
-  stats) — only the weighted layouts (PIE fragment table, weighted push
-  adjacency) rebuild on next use;
-* a topology delta invalidates (by not carrying) every layout, because
-  they all derive from the edge set — but the fragment BOUNDS still
-  carry: they are a layout choice, not semantics (any strictly-increasing
-  boundaries give correct fragments), and approximate edge-count
-  quantiles stay balanced under a small delta, so the merged graph skips
-  the O(E) approxQuantile pass. Degree stats do NOT carry on topology
-  change (they feed PageRank's dangling-mass scalar — semantics).
+  (broadcast, delta-sized) removal set, weight update a delta-broadcast
+  left join, addition a union — then pinned;
+* prepared layouts **carry or patch** instead of rebuilding:
+
+  - layouts whose inputs the delta did not touch carry over borrowed
+    (weight-only delta → every topology-derived layout);
+  - layouts the delta DOES touch get a **pending patch**: a lazy thunk,
+    registered in the merged table's prep cache and run on first use,
+    that derives the new layout from the base's pinned layout — broadcast
+    anti-joins remove deleted rows, the delta-sized set of TOUCHED
+    (src, dst) pairs is recomputed from the merged table, and only the
+    final co-partitioning shuffle is re-paid (zero shuffles for a
+    pure-removal delta, where broadcast anti-joins preserve the base
+    layout's partitioning). This is the Spark shape of the reference's
+    patch-only-affected-CSR-segments (mutable_edgecut_fragment.h:191-260):
+    untouched rows never leave their blocks' lineage, the delta-sized
+    frontier is rebuilt exactly.
+
+* fragment BOUNDS always carry: they are a layout choice, not semantics
+  (any strictly-increasing boundaries give correct fragments), and
+  approximate edge-count quantiles stay balanced under a small delta.
+  Degree stats do NOT carry on topology change (they feed PageRank's
+  dangling-mass scalar — semantics); they recompute lazily with one
+  aggregate over the PATCHED gather layout, which is narrow.
 
 Ownership: carried layouts stay owned by the base table's cache
-(``_PrepCache.borrowed``) — the merged table never unpersists them, and
-it holds a strong reference to the base so the base's drop-time finalizer
-cannot fire while the merged table is alive.
+(``_PrepCache.borrowed``); PATCHED layouts are fresh checkpoints owned by
+the merged table's cache. Either way the merged table holds a strong
+reference to the base (``_lgls_mutation_base``) so the base's drop-time
+finalizer cannot fire while a pending thunk still reads its layouts.
 """
 
 from __future__ import annotations
@@ -41,8 +52,10 @@ from libgrape_lite_spark.plans.kernels import (
     _BOUNDS_CACHE_ATTR,
     _DEGREE_STATS_ATTR,
     _PREP_CACHE_ATTR,
+    _pinned_rdd_ids,
     _prep_cache,
     _prep_put,
+    segment_part_bounds,
 )
 
 #: ops understood by merge_edges, mirroring the reference Mutation fields:
@@ -50,6 +63,80 @@ from libgrape_lite_spark.plans.kernels import (
 #: delv → vertices_to_remove (drops every incident edge; ``src`` carries
 #: the vertex id, ``dst``/``weight`` ignored)
 MUTATION_OPS = ("add", "del", "upd", "delv")
+
+#: vertex-side ops for merge_vertices — the reference Mutation's
+#: vertices_to_add (oid + vdata), vertices_to_update (vdata), and
+#: vertices_to_remove (mutable_edgecut_fragment.h:191-236). Vertices and
+#: edges are separate tables in this engine, so full Mutate parity is
+#: merge_edges(edges, delta) + merge_vertices(vertices, vdelta).
+VERTEX_MUTATION_OPS = ("addv", "updv", "delv")
+
+
+def merge_vertices(base_vertices: DataFrame, delta: DataFrame) -> DataFrame:
+    """Apply a vertex delta to a vertex table; returns the merged table
+    (pinned via eager localCheckpoint).
+
+    ``delta`` columns: ``op`` ∈ {addv, updv, delv}, ``id``, plus the base
+    table's vdata columns (required for addv/updv when the base carries
+    vdata). Semantics mirror ``MutableEdgecutFragment::Mutate``
+    (mutable_edgecut_fragment.h:191-236): removals apply first, then
+    ``addv`` UPSERTS (an existing id's vdata is replaced — the reference
+    overwrites vdata when an added oid already exists — a new id is
+    appended), and ``updv`` replaces vdata for existing ids only (an
+    unknown id is ignored, like an update message for an absent vertex).
+
+    All joins are broadcast-or-hash over the delta-sized sets — zero wide
+    shuffles of the base. Removing a vertex here does NOT touch the edge
+    table; pass the matching ``delv`` rows to :func:`merge_edges` for the
+    incident-edge removal (the reference does both inside one Mutate).
+    """
+    if "op" not in delta.columns:
+        raise ValueError("delta needs an 'op' column (addv|updv|delv)")
+    ops = {r["op"] for r in delta.select("op").distinct().collect()}
+    unknown = ops - set(VERTEX_MUTATION_OPS)
+    if unknown:
+        raise ValueError(f"unknown vertex mutation ops: {sorted(unknown)}")
+    vcols = base_vertices.columns
+    data_cols = [c for c in vcols if c != "id"]
+    missing = [
+        c for c in data_cols if c not in delta.columns and (ops & {"addv", "updv"})
+    ]
+    if missing:
+        raise ValueError(f"delta lacks vdata columns {missing} for addv/updv")
+
+    out = base_vertices.select(*vcols)
+    if "delv" in ops:
+        rm = delta.where(F.col("op") == "delv").select("id").dropDuplicates()
+        out = out.join(F.broadcast(rm), "id", "left_anti")
+    upserts = None
+    if ops & {"addv", "updv"}:
+        upserts = (
+            delta.where(F.col("op").isin("addv", "updv"))
+            .select("op", "id", *data_cols)
+            .dropDuplicates(["id"])
+            .localCheckpoint(eager=True)
+        )
+        if data_cols:
+            # replace vdata for matched ids (addv and updv alike)
+            ups_data = upserts.select(
+                "id", *[F.col(c).alias(f"_n_{c}") for c in data_cols]
+            )
+            out = out.join(F.broadcast(ups_data), "id", "left").select(
+                "id",
+                *[F.coalesce(f"_n_{c}", c).alias(c) for c in data_cols],
+            )
+        # append addv rows whose id is not already present: existing ids
+        # are computed delta-sized (narrow V-scan with the broadcast delta)
+        # so the anti-join never materializes the O(V) side
+        addv = upserts.where(F.col("op") == "addv").select("id", *data_cols)
+        existing = out.select("id").join(F.broadcast(addv.select("id")), "id", "left_semi")
+        new_rows = addv.join(F.broadcast(existing), "id", "left_anti")
+        out = out.unionByName(new_rows)
+    merged = out.localCheckpoint(eager=True)
+    if upserts is not None:
+        # tie the upsert checkpoint's blocks to the merged table's lifecycle
+        _prep_cache(merged).pinned_ids.update(_pinned_rdd_ids(upserts))
+    return merged
 
 
 def _weight_dependent(key: tuple) -> bool:
@@ -59,7 +146,173 @@ def _weight_dependent(key: tuple) -> bool:
     return key[0] == "push" and bool(key[2])
 
 
-def merge_edges(base_edges: DataFrame, delta: DataFrame) -> DataFrame:
+def _doubled(df: DataFrame, directed: bool) -> DataFrame:
+    if directed:
+        return df
+    from libgrape_lite_spark.functions.edges import undirected as _undirected
+
+    return _undirected(df)
+
+
+def _apply_removals(df, directed, vids, dels):
+    """Drop delv-incident and del-matched rows from a layout — broadcast
+    anti-joins (delta-sized right sides) that preserve the layout's
+    partitioning. ``dels`` matches both orientations on undirected
+    layouts, exact orientation on directed ones."""
+    if vids is not None:
+        df = df.join(
+            F.broadcast(vids.select(F.col("vid").alias("src"))), "src", "left_anti"
+        ).join(F.broadcast(vids.select(F.col("vid").alias("dst"))), "dst", "left_anti")
+    if dels is not None:
+        df = df.join(
+            F.broadcast(_doubled(dels, directed).dropDuplicates(["src", "dst"])),
+            ["src", "dst"],
+            "left_anti",
+        )
+    return df
+
+
+def _touched_pairs(directed, *deltas):
+    """The delta-sized set of (src, dst) pairs whose layout rows must be
+    recomputed from the merged table (both orientations on undirected
+    layouts). None when no delta adds/updates pairs."""
+    frames = [d.select("src", "dst") for d in deltas if d is not None]
+    if not frames:
+        return None
+    t = frames[0]
+    for f in frames[1:]:
+        t = t.unionByName(f)
+    return _doubled(t, directed).dropDuplicates(["src", "dst"])
+
+
+def _patch_layout(
+    old: DataFrame,
+    merged: DataFrame,
+    kind: str,
+    directed: bool,
+    has_w: bool,
+    vids,
+    dels,
+    touched,
+    part_expr=None,
+    repartition=None,
+    storage_level=None,
+) -> DataFrame:
+    """Generic layout patch: survivors keep their rows (and part), touched
+    pairs are recomputed from the merged table exactly as the full build
+    would — ``kind`` picks the per-pair reduction:
+
+    * ``gather``   — parallel copies kept as-is
+    * ``push_unw`` — distinct non-self-loop pairs
+    * ``pair_min`` — min weight per pair (weighted push / PIE)
+
+    Cost: two narrow scans (survivors over the base layout's pinned
+    blocks, touched copies over the merged table's) + the final
+    co-partitioning shuffle; a pure-removal delta skips even that shuffle
+    because broadcast anti-joins preserve the base layout's partitioning.
+    """
+    survive = _apply_removals(old, directed, vids, dels)
+    if touched is None:
+        out = survive  # removals only — partitioning preserved, no shuffle
+    else:
+        survive = survive.join(F.broadcast(touched), ["src", "dst"], "left_anti")
+        w = (F.col("weight") if has_w else F.lit(1.0)).alias("weight")
+        m = merged.select("src", "dst", w).join(
+            F.broadcast(touched), ["src", "dst"], "left_semi"
+        )
+        md = _doubled(m, directed)
+        if kind == "gather":
+            rec = md.select("src", "dst")
+        elif kind == "push_unw":
+            rec = (
+                md.select("src", "dst")
+                .where(F.col("src") != F.col("dst"))
+                .dropDuplicates(["src", "dst"])
+            )
+        else:  # pair_min
+            rec = md.groupBy("src", "dst").agg(F.min("weight").alias("weight"))
+        if part_expr is not None:
+            rec = rec.withColumn("part", part_expr)
+        out = survive.unionByName(rec)
+        if repartition is not None:
+            out = repartition(out)
+    if storage_level is not None:
+        return out.localCheckpoint(eager=True, storageLevel=storage_level)
+    return out.localCheckpoint(eager=True)
+
+
+def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds):
+    """A lazy patcher for one prep-cache key, or None if unknown. Runs on
+    first use via ``cached_prepared``'s pending hook; falls back to a full
+    rebuild there if it raises (e.g. the base layout was LRU-evicted)."""
+    kind = key[0]
+    if kind == "push":
+        directed, weighted = key[1], key[2]
+        if weighted:
+            touched = _touched_pairs(directed, adds, upds)
+            return lambda: _patch_layout(
+                val.select("src", "dst", "weight"), merged, "pair_min", directed,
+                has_w, vids, dels, touched,
+                repartition=lambda df: df.repartition("src"),
+            )
+        touched = _touched_pairs(directed, adds)
+        return lambda: _patch_layout(
+            val.select("src", "dst"), merged, "push_unw", directed, has_w,
+            vids, dels, touched, repartition=lambda df: df.repartition("src"),
+        )
+    if kind == "gather":
+        gkey, directed = key[1], key[2]
+        touched = _touched_pairs(directed, adds)
+        from pyspark.storagelevel import StorageLevel
+
+        return lambda: _patch_layout(
+            val.select("src", "dst"), merged, "gather", directed, has_w,
+            vids, dels, touched,
+            repartition=lambda df: df.repartition(gkey),
+            storage_level=StorageLevel.MEMORY_AND_DISK if gkey == "src" else None,
+        )
+    if kind == "pie":
+        nf, bounds, directed = key[1], list(key[2]), key[3]
+        touched = _touched_pairs(directed, adds, upds)
+        return lambda: _patch_layout(
+            val.select("src", "dst", "weight", "part"), merged, "pair_min",
+            directed, has_w, vids, dels, touched,
+            part_expr=segment_part_bounds("src", bounds),
+            repartition=lambda df: df.repartition(nf, "part"),
+        )
+    if kind == "gather_dst_kernel":
+        nf, directed, salts = key[1], key[2], key[3]
+        touched = _touched_pairs(directed, adds)
+        if salts > 1:
+            part_expr = F.pmod(
+                F.hash("dst", F.pmod(F.hash("src"), F.lit(salts))), F.lit(nf)
+            )
+        else:
+            part_expr = F.pmod(F.hash("dst"), F.lit(nf))
+
+        def thunk():
+            old = val.select("src", "dst", "part")
+            survive = _apply_removals(old, directed, vids, dels)
+            if touched is None:
+                return survive.localCheckpoint(eager=True)
+            survive = survive.join(F.broadcast(touched), ["src", "dst"], "left_anti")
+            m = merged.select("src", "dst").join(
+                F.broadcast(touched), ["src", "dst"], "left_semi"
+            )
+            rec = _doubled(m, directed).withColumn("part", part_expr)
+            return (
+                survive.unionByName(rec)
+                .repartition(nf, "part")
+                .localCheckpoint(eager=True)
+            )
+
+        return thunk
+    return None
+
+
+def merge_edges(
+    base_edges: DataFrame, delta: DataFrame, patch_layouts: bool = True
+) -> DataFrame:
     """Apply an edge delta to a normalized edge table; returns the merged
     table (pinned via eager localCheckpoint, like a freshly loaded graph).
 
@@ -73,8 +326,11 @@ def merge_edges(base_edges: DataFrame, delta: DataFrame) -> DataFrame:
 
     The merged result is row-identical to rebuilding from the mutated
     edge list (pytest-pinned equivalence, test_round6_ops.py), but the
-    derivation is shuffle-free and unaffected prepared layouts carry over
-    — see module docstring for the dependency classification.
+    derivation is shuffle-free, unaffected prepared layouts carry over,
+    and — with ``patch_layouts`` (default) — affected layouts are patched
+    lazily from the base's pinned layouts instead of rebuilt (see module
+    docstring; pytest-pinned against full rebuilds in
+    test_round7_mutation.py).
     """
     if "op" not in delta.columns:
         raise ValueError("delta needs an 'op' column (add|del|upd|delv)")
@@ -86,56 +342,100 @@ def merge_edges(base_edges: DataFrame, delta: DataFrame) -> DataFrame:
     if "upd" in ops and not has_w:
         raise ValueError("weight updates on an unweighted edge table")
 
-    cols = ["src", "dst"] + (["weight"] if has_w else [])
-    merged = base_edges.select(*cols)
+    # delta sub-frames, pinned once (each is reused by the merged-table
+    # derivation and by up to 7 layout-patch thunks)
+    vids = dels = upds = adds = None
     if "delv" in ops:
-        vids = delta.where(F.col("op") == "delv").select(
-            F.col("src").alias("vid")
-        ).dropDuplicates()
-        merged = (
-            merged.join(vids.withColumnRenamed("vid", "src"), "src", "left_anti")
-            .join(vids.withColumnRenamed("vid", "dst"), "dst", "left_anti")
-            .select(*cols)
+        vids = (
+            delta.where(F.col("op") == "delv")
+            .select(F.col("src").alias("vid"))
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
         )
     if "del" in ops:
-        dels = delta.where(F.col("op") == "del").select("src", "dst").dropDuplicates()
-        merged = merged.join(dels, ["src", "dst"], "left_anti")
+        dels = (
+            delta.where(F.col("op") == "del")
+            .select("src", "dst")
+            .dropDuplicates()
+            .localCheckpoint(eager=True)
+        )
     if "upd" in ops:
         upds = (
             delta.where(F.col("op") == "upd")
             .select("src", "dst", F.col("weight").alias("_nw"))
             .dropDuplicates(["src", "dst"])
-        )
-        merged = merged.join(upds, ["src", "dst"], "left").select(
-            "src", "dst", F.coalesce("_nw", "weight").alias("weight")
+            .localCheckpoint(eager=True)
         )
     if "add" in ops:
-        adds = delta.where(F.col("op") == "add")
+        a = delta.where(F.col("op") == "add")
         w = (F.col("weight") if "weight" in delta.columns else F.lit(1.0)).alias(
             "weight"
         )
-        adds = adds.select("src", "dst", w) if has_w else adds.select("src", "dst")
+        adds = (
+            a.select("src", "dst", w) if has_w else a.select("src", "dst")
+        ).localCheckpoint(eager=True)
+
+    cols = ["src", "dst"] + (["weight"] if has_w else [])
+    merged = base_edges.select(*cols)
+    if vids is not None:
+        merged = (
+            merged.join(vids.withColumnRenamed("vid", "src"), "src", "left_anti")
+            .join(vids.withColumnRenamed("vid", "dst"), "dst", "left_anti")
+            .select(*cols)
+        )
+    if dels is not None:
+        merged = merged.join(dels, ["src", "dst"], "left_anti")
+    if upds is not None:
+        merged = merged.join(upds, ["src", "dst"], "left").select(
+            "src", "dst", F.coalesce("_nw", "weight").alias("weight")
+        )
+    if adds is not None:
         merged = merged.unionByName(adds)
     merged = merged.localCheckpoint(eager=True)
 
     topo_changed = bool(ops & {"add", "del", "delv"})
     carried: list[tuple] = []
+    patched: list[tuple] = []
     base_cache = getattr(base_edges, _PREP_CACHE_ATTR, None)
-    if base_cache and not topo_changed:
-        mcache = _prep_cache(merged)  # also registers the drop finalizer
+    mcache = _prep_cache(merged)  # also registers the drop finalizer
+    # the delta sub-frames' pinned blocks follow the merged table's
+    # lifecycle (released by its drop finalizer / invalidate_prepared)
+    for d in (vids, dels, upds, adds):
+        if d is not None:
+            mcache.pinned_ids.update(_pinned_rdd_ids(d))
+    if base_cache:
         for key, val in list(base_cache.items()):
-            if _weight_dependent(key):
+            if key[0] == "outdeg":
+                # weight-invariant: carries on weight-only deltas; on
+                # topology deltas it rebuilds narrow on demand from the
+                # patched gather layout (one aggregate, exchange elided by
+                # co-partitioning), so no patch thunk is needed
+                if not topo_changed:
+                    _prep_put(mcache, key, val, owned=False)
+                    carried.append(key)
                 continue
-            _prep_put(mcache, key, val, owned=False)
-            carried.append(key)
-        stats = getattr(base_edges, _DEGREE_STATS_ATTR, None)
-        if stats is not None:  # degrees are weight-invariant
-            setattr(merged, _DEGREE_STATS_ATTR, dict(stats))
-        # the base must outlive the merged table: carried layouts' blocks
-        # are owned (and drop-finalized) by the base's cache
-        merged._lgls_mutation_base = base_edges
+            if not topo_changed and not _weight_dependent(key):
+                _prep_put(mcache, key, val, owned=False)
+                carried.append(key)
+            elif patch_layouts:
+                thunk = _layout_patch_thunk(
+                    key, val, merged, has_w, vids, dels, upds, adds
+                )
+                if thunk is not None:
+                    mcache.pending[key] = thunk
+                    patched.append(key)
+        if not topo_changed:
+            stats = getattr(base_edges, _DEGREE_STATS_ATTR, None)
+            if stats is not None:  # degrees are weight-invariant
+                setattr(merged, _DEGREE_STATS_ATTR, dict(stats))
+        if carried or patched:
+            # the base must outlive the merged table: carried layouts'
+            # blocks are owned (and drop-finalized) by the base's cache,
+            # and pending thunks read the base's pinned layouts
+            merged._lgls_mutation_base = base_edges
     bounds = getattr(base_edges, _BOUNDS_CACHE_ATTR, None)
     if bounds is not None:  # valid either way — layout choice, not semantics
         setattr(merged, _BOUNDS_CACHE_ATTR, dict(bounds))
     merged._lgls_carried_layouts = tuple(carried)
+    merged._lgls_pending_patches = tuple(patched)
     return merged

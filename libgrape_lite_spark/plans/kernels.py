@@ -533,6 +533,10 @@ class _PrepCache(OrderedDict):
         super().__init__()
         self.pinned_ids: set[int] = set()
         self.borrowed: set = set()
+        # key → lazy patch thunk registered by mutation.merge_edges: runs
+        # on first use instead of a full rebuild (the Spark analog of the
+        # reference's patch-only-affected-CSR-segments Mutate)
+        self.pending: dict = {}
 
 
 def _prep_cache(edges: DataFrame) -> "_PrepCache":
@@ -586,7 +590,18 @@ def cached_prepared(edges: DataFrame, key: tuple, build):
     if key in cache:
         cache.move_to_end(key)
     else:
-        _prep_put(cache, key, build())
+        val = None
+        thunk = cache.pending.pop(key, None)
+        if thunk is not None:
+            # targeted patch registered by mutation.merge_edges — derive
+            # the layout from the base graph's pinned layout instead of
+            # rebuilding. Falls back to the full build if the base layout
+            # was released underneath it (LRU eviction / dropped base).
+            try:
+                val = thunk()
+            except Exception:
+                val = None
+        _prep_put(cache, key, val if val is not None else build())
     return cache[key]
 
 
@@ -623,8 +638,9 @@ def invalidate_prepared(edges: DataFrame) -> None:
     (borrowed entries are forgotten but NOT unpersisted — they belong to
     the base table they were carried from)."""
     cache = getattr(edges, _PREP_CACHE_ATTR, None)
-    if not cache:
+    if cache is None:
         return
+    getattr(cache, "pending", {}).clear()
     borrowed = getattr(cache, "borrowed", set())
     for k, v in cache.items():
         if k not in borrowed:
