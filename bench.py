@@ -69,6 +69,10 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     wall_start = time.time()
+    try:
+        loadavg_at_start = list(os.getloadavg())
+    except OSError:
+        loadavg_at_start = []
     t0 = time.time()
     vertices, edges = build_graph(spark, SF_DIR)
     n_vertices = vertices.count()
@@ -183,10 +187,16 @@ def main() -> None:
     raw = dict(out)
     raw["wall_clock_start_epoch"] = round(wall_start, 3)
     raw["wall_clock_end_epoch"] = round(time.time(), 3)
+    raw["loadavg_at_start"] = loadavg_at_start
     try:
         raw["loadavg_at_end"] = os.getloadavg()
     except OSError:
         pass
+    # quoting rule (VERDICT r6 task 2): a record cited as a headline in
+    # BENCH/BASELINE.md must have started on a near-idle box — the r6
+    # record ran at loadavg 5.35 (its own pipeline activity) and produced
+    # a number an idle box could not reproduce
+    raw["quotable_idle_start"] = bool(loadavg_at_start and loadavg_at_start[0] < 2.0)
     try:
         RUNS_DIR.mkdir(parents=True, exist_ok=True)
         run_file = RUNS_DIR / f"bench_{int(wall_start)}.json"
