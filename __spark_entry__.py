@@ -354,6 +354,45 @@ def _q_multimodal_bytes(spark, sf_dir):
     )
 
 
+def _q_vertex_mutation(spark, sf_dir):
+    """Vertex-data mutation (Mutation::vertices_to_add/update/remove,
+    mutable_edgecut_fragment.h:191-236) as an oracle-gated query: over
+    the graph's vertex table keyed by oid with a derived label column,
+    remove the 20 oid-smallest vertices, update the labels of the next
+    20, UPSERT the next 10 (addv on existing ids — vdata replaced), and
+    add 10 synthetic vertices. The DuckDB mirror applies the same delta
+    with plain SQL; oid order is total so both engines pick identical
+    delta rows."""
+    from pyspark.sql.window import Window
+
+    from libgrape_lite_spark import transients
+    from libgrape_lite_spark.mutation import merge_vertices
+
+    vertices, _ = _graph(spark, sf_dir)
+    v = vertices.select(
+        F.col("oid").alias("id"),
+        F.split(F.col("oid"), ":").getItem(0).alias("label"),
+    )
+    ranked = v.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    delv = ranked.where("rn <= 20").select(
+        F.lit("delv").alias("op"), "id", F.lit(None).cast("string").alias("label")
+    )
+    updv = ranked.where("rn > 20 AND rn <= 40").select(
+        F.lit("updv").alias("op"), "id", F.lit("upd").alias("label")
+    )
+    upsv = ranked.where("rn > 40 AND rn <= 50").select(
+        F.lit("addv").alias("op"), "id", F.lit("upserted").alias("label")
+    )
+    newv = spark.range(10).select(
+        F.lit("addv").alias("op"),
+        F.concat(F.lit("newv::"), F.col("id")).alias("id"),
+        F.lit("new").alias("label"),
+    )
+    delta = delv.unionByName(updv).unionByName(upsv).unionByName(newv)
+    merged = transients.register(merge_vertices(v, delta))
+    return merged.select("id", "label")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: WCC component sizes on the sf0.001 transcript graph."""
     vertices, edges = _graph(spark, "/root/testdata/sf0.001")
@@ -417,6 +456,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_stats": _q_text_stats,
         "multimodal_bytes": _q_multimodal_bytes,
         "edge_mutation": _q_edge_mutation,
+        "vertex_mutation": _q_vertex_mutation,
     }
     # every callable frees the previous query's transient checkpoint
     # blocks (no-op when none are registered — cheap for graph queries)
@@ -1007,6 +1047,22 @@ SELECT 'mut::' || CAST(i AS VARCHAR), 'mutdst::' || CAST(i AS VARCHAR),
 FROM range(25) t(i)"""
 
 
+def _sql_vertex_mutation() -> str:
+    """SQL mirror of _q_vertex_mutation: delv rank 1-20, updv 21-40,
+    upsert 41-50, append 10 synthetic vertices. oid is unique in the
+    vertices CTE so ROW_NUMBER ordered by oid is total."""
+    return f"""WITH {_EDGES},
+ranked AS (SELECT oid, ROW_NUMBER() OVER (ORDER BY oid) AS rn FROM vertices)
+SELECT oid AS id,
+       CASE WHEN rn > 20 AND rn <= 40 THEN 'upd'
+            WHEN rn > 40 AND rn <= 50 THEN 'upserted'
+            ELSE split_part(oid, ':', 1) END AS label
+FROM ranked WHERE rn > 20
+UNION ALL
+SELECT 'newv::' || CAST(i AS VARCHAR) AS id, 'new' AS label
+FROM range(10) t(i)"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_turns": f"WITH {_TRANSCRIPTS} SELECT conv_id, turn_idx, role, tool, text FROM transcripts",
@@ -1037,4 +1093,5 @@ def oracle_sql() -> dict[str, str]:
         "text_stats": _sql_text_stats(),
         "multimodal_bytes": _sql_multimodal(),
         "edge_mutation": _sql_edge_mutation(),
+        "vertex_mutation": _sql_vertex_mutation(),
     }
