@@ -16,10 +16,16 @@ TESTDATA = Path("/root/testdata")
 def spark():
     from libgrape_lite_spark import get_spark
 
+    import os
+
     s = get_spark(
         app_name="libgrape-lite-spark-tests",
         master="local[4]",
-        shuffle_partitions=8,
+        # 4 by default (r7): suite data is tiny, and halving the tasks per
+        # superstep job cut the wall clock measurably; tests that assert
+        # partitioning behavior pass num_fragments explicitly, so the
+        # session default only sets job granularity
+        shuffle_partitions=int(os.environ.get("SPARK_GRAFT_TEST_PARTITIONS", "4")),
         extra_conf={
             "spark.driver.memory": "4g",
             "spark.sql.session.timeZone": "UTC",

@@ -19,20 +19,25 @@ def test_wcc_resume_equals_uninterrupted(spark, tmp_path):
     from libgrape_lite_spark.plans.superstep import IterationDriver
 
     v, e = _ring(spark)
-    want = {r["id"]: r["comp"] for r in wcc(v, e).collect()}
+    # num_fragments pinned to 8: the mid-run precondition below needs the
+    # ring split across enough fragments that 3 supersteps cannot reach
+    # the fixed point (fewer fragments → bigger local fixpoints → faster
+    # global convergence; the session default is 4 partitions since r7)
+    nf = 8
+    want = {r["id"]: r["comp"] for r in wcc(v, e, num_fragments=nf).collect()}
 
     ckpt = str(tmp_path / "ckpt")
     run_id = "killrun"
     # phase 1: "killed" after 3 supersteps (checkpoint every superstep)
     d1 = IterationDriver(spark, run_id=run_id, checkpoint_dir=ckpt, checkpoint_every=1)
-    partial = wcc(v, e, driver=d1, max_rounds=3)
+    partial = wcc(v, e, driver=d1, max_rounds=3, num_fragments=nf)
     assert {r["id"]: r["comp"] for r in partial.collect()} != want  # genuinely mid-run
 
     # phase 2: fresh driver with the same run id resumes from step 3
     d2 = IterationDriver(spark, run_id=run_id, checkpoint_dir=ckpt, checkpoint_every=1)
     resumed_state, resumed_step = d2.latest_checkpoint()
     assert resumed_step == 3
-    got = {r["id"]: r["comp"] for r in wcc(v, e, driver=d2).collect()}
+    got = {r["id"]: r["comp"] for r in wcc(v, e, driver=d2, num_fragments=nf).collect()}
     assert got == want
     # and the resumed run did fewer supersteps than a cold run would
     cold_rounds = len(IterationDriver(spark).metrics)  # 0, just for clarity
