@@ -78,9 +78,16 @@ class Probe:
         return self
 
     def drain(self) -> list[tuple[float, float]]:
+        # NOT `while not q.empty()`: mp.Queue.empty() races the feeder
+        # pipe and can report empty immediately after a long parent
+        # sleep even when samples are queued — a 0.2 s get-timeout
+        # drain is the reliable shape.
         out = []
-        while not self.q.empty():
-            out.append(self.q.get())
+        while True:
+            try:
+                out.append(self.q.get(timeout=0.2))
+            except Exception:
+                break
         return out
 
     def __exit__(self, *exc):
@@ -121,7 +128,56 @@ def _series(samples, t0, t1):
     return [round(buckets[k], 2) for k in sorted(buckets)]
 
 
+def _idle_only() -> None:
+    """Record ONLY the idle baseline (probe alone, no Spark) as a
+    companion membw_idle_<epoch>.json — for completing a probe record
+    whose in-run baseline window was too short to land samples."""
+    wall_start = time.time()
+    loadavg_at_start = list(os.getloadavg())
+    idle_samples: list[dict] = []
+    deadline = time.time() + 120
+    with Probe() as probe:
+        while len(idle_samples) < 24 and time.time() < deadline:
+            time.sleep(SAMPLE_WINDOW)
+            idle_samples.extend(
+                {"t": round(ts, 1), "cpu": c, "gbs": round(g, 2)}
+                for ts, c, g in probe.drain()
+            )
+    series = (
+        _series(idle_samples, idle_samples[0]["t"], idle_samples[-1]["t"])
+        if idle_samples
+        else []
+    )
+    s = sorted(series)
+    out = {
+        "metric": "probe_bandwidth_idle_baseline",
+        "probe": {"cpus": list(PROBE_CPUS), "window_sec": SAMPLE_WINDOW},
+        "idle_baseline_gbs": {
+            "min": s[0],
+            "p25": s[len(s) // 4],
+            "median": s[len(s) // 2],
+            "max": s[-1],
+            "n_windows": len(s),
+        }
+        if s
+        else {},
+        "series": series,
+        "loadavg_at_start": loadavg_at_start,
+        "wall_clock_start_epoch": round(wall_start, 3),
+        "wall_clock_end_epoch": round(time.time(), 3),
+    }
+    runs = REPO / "BENCH" / "runs"
+    runs.mkdir(parents=True, exist_ok=True)
+    (runs / f"membw_idle_{int(wall_start)}.json").write_text(
+        json.dumps(out, indent=1) + "\n"
+    )
+    print(json.dumps(out))
+
+
 def main() -> None:
+    if "--idle-only" in sys.argv:
+        _idle_only()
+        return
     n_conv = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     wall_start = time.time()
     loadavg_at_start = list(os.getloadavg())
@@ -132,14 +188,22 @@ def main() -> None:
         cwd=str(REPO),
     )
 
-    # idle baseline: probe alone on an otherwise-idle box
+    # idle baseline: probe alone on an otherwise-idle box. Collect until
+    # a sample quota is met — page-in of 3×160 MB arrays per worker takes
+    # ~13 s before the first sample lands, so a fixed sleep is fragile.
+    idle_samples = []
+    idle_deadline = time.time() + 120
     with Probe() as probe:
-        time.sleep(4 * SAMPLE_WINDOW)
-        idle_samples = [
-            {"t": round(ts, 1), "cpu": c, "gbs": round(g, 2)}
-            for ts, c, g in probe.drain()
-        ]
-    idle_gbs = _series(idle_samples, idle_samples[0]["t"], idle_samples[-1]["t"])
+        while len(idle_samples) < 12 and time.time() < idle_deadline:
+            time.sleep(SAMPLE_WINDOW)
+            idle_samples.extend(
+                {"t": round(ts, 1), "cpu": c, "gbs": round(g, 2)}
+                for ts, c, g in probe.drain()
+            )
+    if idle_samples:
+        idle_gbs = _series(idle_samples, idle_samples[0]["t"], idle_samples[-1]["t"])
+    else:
+        idle_gbs = []
 
     n_res, n_samples = _leg(["0-6"], 7, n_conv)
     time.sleep(5)
