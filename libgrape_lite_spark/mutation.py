@@ -23,8 +23,10 @@ shuffle. :func:`merge_edges` closes the gap in two tiers:
     anti-joins remove deleted rows, the delta-sized set of TOUCHED
     (src, dst) pairs is recomputed from the merged table, and only the
     final co-partitioning shuffle is re-paid (zero shuffles for a
-    pure-removal delta, where broadcast anti-joins preserve the base
-    layout's partitioning). This is the Spark shape of the reference's
+    pure-removal delta whose removals are resolvable by anti-join alone:
+    delv always, del only on directed graphs — an undirected del must
+    recompute its pair, because the stored reverse orientation may
+    survive). This is the Spark shape of the reference's
     patch-only-affected-CSR-segments (mutable_edgecut_fragment.h:191-260):
     untouched rows never leave their blocks' lineage, the delta-sized
     frontier is rebuilt exactly.
@@ -157,15 +159,26 @@ def _doubled(df: DataFrame, directed: bool) -> DataFrame:
 def _apply_removals(df, directed, vids, dels):
     """Drop delv-incident and del-matched rows from a layout — broadcast
     anti-joins (delta-sized right sides) that preserve the layout's
-    partitioning. ``dels`` matches both orientations on undirected
-    layouts, exact orientation on directed ones."""
+    partitioning.
+
+    ``dels`` may only be passed for DIRECTED layouts, where a del is an
+    exact-orientation match and every stored copy of the pair vanishes.
+    On undirected layouts a del pair must go through the TOUCHED-pair
+    recompute instead (``_layout_patch_thunk`` routes it there): the
+    doubled layout rows for pair {a, b} are backed by stored copies of
+    EITHER orientation, so deleting stored (b, a) while stored (a, b)
+    survives must keep both doubled rows — and re-derive pair-min
+    weights, since the removed orientation may have held the min
+    (hypothesis-found in round 7, test_merge_edges_matches_rebuild_and_
+    oracle: base (1,2,1.0) + del (2,1) wrongly emptied the pair)."""
     if vids is not None:
         df = df.join(
             F.broadcast(vids.select(F.col("vid").alias("src"))), "src", "left_anti"
         ).join(F.broadcast(vids.select(F.col("vid").alias("dst"))), "dst", "left_anti")
     if dels is not None:
+        assert directed, "undirected del pairs must recompute, not anti-join"
         df = df.join(
-            F.broadcast(_doubled(dels, directed).dropDuplicates(["src", "dst"])),
+            F.broadcast(dels.dropDuplicates(["src", "dst"])),
             ["src", "dst"],
             "left_anti",
         )
@@ -175,7 +188,8 @@ def _apply_removals(df, directed, vids, dels):
 def _touched_pairs(directed, *deltas):
     """The delta-sized set of (src, dst) pairs whose layout rows must be
     recomputed from the merged table (both orientations on undirected
-    layouts). None when no delta adds/updates pairs."""
+    layouts). None when nothing needs a recompute (no adds/updates, and
+    no undirected dels)."""
     frames = [d.select("src", "dst") for d in deltas if d is not None]
     if not frames:
         return None
@@ -208,8 +222,10 @@ def _patch_layout(
 
     Cost: two narrow scans (survivors over the base layout's pinned
     blocks, touched copies over the merged table's) + the final
-    co-partitioning shuffle; a pure-removal delta skips even that shuffle
-    because broadcast anti-joins preserve the base layout's partitioning.
+    co-partitioning shuffle; a delta whose removals are all anti-join
+    resolvable (delv always; del only when directed) and adds/updates
+    nothing skips even that shuffle because broadcast anti-joins
+    preserve the base layout's partitioning.
     """
     survive = _apply_removals(old, directed, vids, dels)
     if touched is None:
@@ -246,43 +262,52 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds):
     first use via ``cached_prepared``'s pending hook; falls back to a full
     rebuild there if it raises (e.g. the base layout was LRU-evicted)."""
     kind = key[0]
+
+    def _route(directed, *weight_deltas):
+        """(touched, del_rm): directed dels anti-join exactly (every
+        stored copy of the pair vanishes); undirected dels join the
+        touched recompute instead — see _apply_removals."""
+        if directed or dels is None:
+            return _touched_pairs(directed, *weight_deltas), dels
+        return _touched_pairs(directed, *weight_deltas, dels), None
+
     if kind == "push":
         directed, weighted = key[1], key[2]
         if weighted:
-            touched = _touched_pairs(directed, adds, upds)
+            touched, del_rm = _route(directed, adds, upds)
             return lambda: _patch_layout(
                 val.select("src", "dst", "weight"), merged, "pair_min", directed,
-                has_w, vids, dels, touched,
+                has_w, vids, del_rm, touched,
                 repartition=lambda df: df.repartition("src"),
             )
-        touched = _touched_pairs(directed, adds)
+        touched, del_rm = _route(directed, adds)
         return lambda: _patch_layout(
             val.select("src", "dst"), merged, "push_unw", directed, has_w,
-            vids, dels, touched, repartition=lambda df: df.repartition("src"),
+            vids, del_rm, touched, repartition=lambda df: df.repartition("src"),
         )
     if kind == "gather":
         gkey, directed = key[1], key[2]
-        touched = _touched_pairs(directed, adds)
+        touched, del_rm = _route(directed, adds)
         from pyspark.storagelevel import StorageLevel
 
         return lambda: _patch_layout(
             val.select("src", "dst"), merged, "gather", directed, has_w,
-            vids, dels, touched,
+            vids, del_rm, touched,
             repartition=lambda df: df.repartition(gkey),
             storage_level=StorageLevel.MEMORY_AND_DISK if gkey == "src" else None,
         )
     if kind == "pie":
         nf, bounds, directed = key[1], list(key[2]), key[3]
-        touched = _touched_pairs(directed, adds, upds)
+        touched, del_rm = _route(directed, adds, upds)
         return lambda: _patch_layout(
             val.select("src", "dst", "weight", "part"), merged, "pair_min",
-            directed, has_w, vids, dels, touched,
+            directed, has_w, vids, del_rm, touched,
             part_expr=segment_part_bounds("src", bounds),
             repartition=lambda df: df.repartition(nf, "part"),
         )
     if kind == "gather_dst_kernel":
         nf, directed, salts = key[1], key[2], key[3]
-        touched = _touched_pairs(directed, adds)
+        touched, del_rm = _route(directed, adds)
         if salts > 1:
             part_expr = F.pmod(
                 F.hash("dst", F.pmod(F.hash("src"), F.lit(salts))), F.lit(nf)
@@ -292,7 +317,7 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds):
 
         def thunk():
             old = val.select("src", "dst", "part")
-            survive = _apply_removals(old, directed, vids, dels)
+            survive = _apply_removals(old, directed, vids, del_rm)
             if touched is None:
                 return survive.localCheckpoint(eager=True)
             survive = survive.join(F.broadcast(touched), ["src", "dst"], "left_anti")
@@ -439,3 +464,75 @@ def merge_edges(
     merged._lgls_carried_layouts = tuple(carried)
     merged._lgls_pending_patches = tuple(patched)
     return merged
+
+
+def mutate(
+    base_vertices: DataFrame,
+    base_edges: DataFrame,
+    delta: DataFrame,
+    patch_layouts: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Apply one combined Mutation to both tables — the literal shape of
+    ``MutableEdgecutFragment::Mutate(Mutation&)``
+    (mutable_edgecut_fragment.h:191), which takes vertex AND edge deltas
+    in a single struct and applies them together.
+
+    ``delta`` is one DataFrame with an ``op`` column mixing edge ops
+    (``add``/``del``/``upd`` — columns ``src``, ``dst``, ``weight``) and
+    vertex ops (``addv``/``updv`` — columns ``id`` + the base vertex
+    table's vdata columns). ``delv`` rows carry the vertex id in ``id``
+    and are routed to BOTH tables, exactly like the reference's
+    ``vertices_to_remove``: the vertex row is dropped AND every incident
+    edge is removed. Returns ``(merged_vertices, merged_edges)``; a side
+    with no ops for it is returned unchanged (same object, prepared
+    layouts untouched).
+
+    This is a pure router over :func:`merge_vertices` and
+    :func:`merge_edges` — all the carry/patch lifecycle documented there
+    applies per side.
+    """
+    if "op" not in delta.columns:
+        raise ValueError("delta needs an 'op' column")
+    ops = {r["op"] for r in delta.select("op").distinct().collect()}
+    unknown = ops - set(MUTATION_OPS) - set(VERTEX_MUTATION_OPS)
+    if unknown:
+        raise ValueError(f"unknown mutation ops: {sorted(unknown)}")
+    vertex_ops = ops & set(VERTEX_MUTATION_OPS)  # delv included: both sides
+    edge_ops = ops & set(MUTATION_OPS)
+    if vertex_ops and "id" not in delta.columns:
+        raise ValueError("vertex ops (addv|updv|delv) need an 'id' column")
+
+    out_v, out_e = base_vertices, base_edges
+    if vertex_ops:
+        vcols = [c for c in base_vertices.columns if c in delta.columns and c != "id"]
+        out_v = merge_vertices(
+            base_vertices,
+            delta.where(F.col("op").isin(*vertex_ops)).select("op", "id", *vcols),
+        )
+    if edge_ops:
+        parts = []
+        plain = edge_ops - {"delv"}
+        if plain:
+            w = ["weight"] if "weight" in delta.columns else []
+            parts.append(
+                delta.where(F.col("op").isin(*plain)).select(
+                    "op", "src", "dst", *[F.col(c).cast("double") for c in w]
+                )
+            )
+        if "delv" in ops:
+            # vertex id rides in `src` for merge_edges' incident-edge drop
+            # (the 'id' column is guaranteed by the vertex_ops check above)
+            parts.append(
+                delta.where(F.col("op") == "delv").select(
+                    "op",
+                    F.col("id").alias("src"),
+                    F.lit(None).cast("long").alias("dst"),
+                    *([F.lit(None).cast("double").alias("weight")]
+                      if "weight" in delta.columns else []),
+                )
+            )
+        edelta = parts[0]
+        for p in parts[1:]:
+            edelta = edelta.unionByName(p)
+        out_e = merge_edges(base_edges, edelta, patch_layouts=patch_layouts)
+    return out_v, out_e

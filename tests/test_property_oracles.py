@@ -157,3 +157,85 @@ def test_lcc_degree_threshold_matches_filtered_bruteforce(spark):
     exact = {r["id"]: r["lcc"] for r in lcc(v, e, degree_threshold=10**9).collect()}
     noflt = {r["id"]: r["lcc"] for r in lcc(v, e).collect()}
     assert exact == noflt
+
+
+# -- merge_edges vs rebuild (mutation.py; mutable_edgecut_fragment.h:191) --
+
+_mut_base = st.lists(
+    st.tuples(
+        st.integers(1, 6),
+        st.integers(1, 6),
+        st.sampled_from([0.5, 1.0, 2.5, 4.0]),
+    ),
+    min_size=2,
+    max_size=10,
+)
+_mut_ops = st.lists(
+    st.tuples(
+        st.sampled_from(["add", "del", "upd", "delv"]),
+        st.integers(1, 6),
+        st.integers(1, 7),  # adds may introduce a brand-new vertex 7
+        st.sampled_from([0.2, 3.0, 9.9]),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+def _merge_oracle(base, delta):
+    """merge_edges semantics in pure Python (module docstring order:
+    delv anti-join → del anti-join → upd coalesce → union adds; adds are
+    appended AFTER removals and never themselves removed/updated)."""
+    vids = {s for (op, s, _d, _w) in delta if op == "delv"}
+    dels = {(s, d) for (op, s, d, _w) in delta if op == "del"}
+    upds = {(s, d): w for (op, s, d, w) in delta if op == "upd"}
+    adds = [(s, d, w) for (op, s, d, w) in delta if op == "add"]
+    out = [
+        (s, d, upds.get((s, d), w))
+        for (s, d, w) in base
+        if s not in vids and d not in vids and (s, d) not in dels
+    ]
+    return sorted(out + adds)
+
+
+@settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+@given(base=_mut_base, delta=_mut_ops, directed=st.booleans())
+def test_merge_edges_matches_rebuild_and_oracle(spark, base, delta, directed):
+    """Random deltas: the merged table must equal the pure-Python oracle,
+    and every PATCHED prepared layout must be row-identical to the same
+    builder run from scratch on a fresh table with the merged rows — the
+    patch path (lazy thunks over the base's pinned layouts) can never
+    disagree with a full rebuild, whatever the delta shape (including
+    deltas that empty the graph)."""
+    from libgrape_lite_spark.mutation import merge_edges
+    from libgrape_lite_spark.plans.kernels import (
+        gather_adjacency_table,
+        invalidate_prepared,
+        push_adjacency_table,
+    )
+
+    # one row per (op, src, dst): duplicate upds on a pair would make the
+    # winner arbitrary in both engine and oracle
+    delta = list({(op, s, d): (op, s, d, w) for op, s, d, w in delta}.values())
+    e = make_edges(spark, base)
+    # warm exactly the two layouts compared below (the builders memoize on
+    # e, so merge_edges registers patch thunks for them; prepare_graph's
+    # full 6-layout warm made each example ~5x slower for no extra signal)
+    push_adjacency_table(e, directed=directed, weighted=True)
+    gather_adjacency_table(e, "src", directed)
+    merged = merge_edges(
+        e, spark.createDataFrame(delta, "op string, src long, dst long, weight double")
+    )
+    want = _merge_oracle(base, delta)
+    assert sorted(tuple(r) for r in merged.collect()) == want
+
+    fresh = spark.createDataFrame(merged.collect(), merged.schema)
+    for build in (
+        lambda t: push_adjacency_table(t, directed=directed, weighted=True),
+        lambda t: gather_adjacency_table(t, "src", directed),
+    ):
+        got = sorted(tuple(r) for r in build(merged).collect())
+        ref = sorted(tuple(r) for r in build(fresh).collect())
+        assert got == ref
+    for t in (e, merged, fresh):
+        invalidate_prepared(t)

@@ -160,9 +160,11 @@ def test_operators_agree_on_patched_graph(spark):
 
 
 def test_pure_removal_delta_patches_without_touched_recompute(spark):
-    """A del/delv-only delta patches layouts with broadcast anti-joins
-    alone (no touched-pair recompute, no repartition — the base layout's
-    partitioning survives)."""
+    """A removal delta resolvable by anti-join alone — delv on undirected
+    (every doubled row of the vertex's pairs has it as an endpoint), or
+    del/delv on directed (a del kills every stored copy of its exact
+    orientation) — patches layouts without the touched-pair recompute,
+    so the base layout's partitioning survives un-shuffled."""
     from tests.conftest import make_edges, make_vertices
     from libgrape_lite_spark.mutation import merge_edges
     from libgrape_lite_spark.plans.kernels import (
@@ -175,16 +177,65 @@ def test_pure_removal_delta_patches_without_touched_recompute(spark):
     v = make_vertices(spark, range(1, 7))
     prepare_graph(v, base, num_fragments=4)
     delta = spark.createDataFrame(
-        [("del", 2, 3, 0.0), ("delv", 4, 0, 0.0)],
-        "op string, src long, dst long, weight double",
+        [("delv", 4, 0, 0.0)], "op string, src long, dst long, weight double"
     )
     merged = merge_edges(base, delta)
     assert merged._lgls_pending_patches
     fresh = _fresh_copy(spark, merged)
     assert _rows(push_adjacency_table(merged)) == _rows(push_adjacency_table(fresh))
-    invalidate_prepared(merged)
-    invalidate_prepared(fresh)
-    invalidate_prepared(base)
+
+    base_d = make_edges(spark, BASE_PAIRS)
+    prepare_graph(v, base_d, num_fragments=4, directed=True)
+    delta_d = spark.createDataFrame(
+        [("del", 2, 3, 0.0), ("delv", 4, 0, 0.0)],
+        "op string, src long, dst long, weight double",
+    )
+    merged_d = merge_edges(base_d, delta_d)
+    assert merged_d._lgls_pending_patches
+    fresh_d = _fresh_copy(spark, merged_d)
+    assert _rows(push_adjacency_table(merged_d, directed=True)) == _rows(
+        push_adjacency_table(fresh_d, directed=True)
+    )
+    for t in (merged, fresh, base, merged_d, fresh_d, base_d):
+        invalidate_prepared(t)
+
+
+def test_undirected_del_of_unstored_orientation_keeps_surviving_pair(spark):
+    """Hypothesis-found (round 7): on an undirected graph, del (2, 1)
+    must NOT empty the doubled layout rows of pair {1, 2} when the base
+    stores (1, 2) — only exact-orientation copies leave the table, so the
+    patched layout must keep both doubled rows AND re-derive the pair-min
+    weight when the deleted orientation held the min."""
+    from tests.conftest import make_edges, make_vertices
+    from libgrape_lite_spark.mutation import merge_edges
+    from libgrape_lite_spark.plans.kernels import (
+        gather_adjacency_table,
+        invalidate_prepared,
+        prepare_graph,
+        push_adjacency_table,
+    )
+
+    # (2, 1, 0.2) holds the pair min; deleting it must bump {1,2} to 1.0
+    base = make_edges(spark, [(1, 2, 1.0), (2, 1, 0.2), (1, 5, 0.5), (4, 2, 2.5)])
+    v = make_vertices(spark, range(1, 6))
+    prepare_graph(v, base, num_fragments=4)
+    delta = spark.createDataFrame(
+        [("del", 2, 1, 0.0)], "op string, src long, dst long, weight double"
+    )
+    merged = merge_edges(base, delta)
+    assert _rows(merged) == [(1, 2, 1.0), (1, 5, 0.5), (4, 2, 2.5)]
+    fresh = _fresh_copy(spark, merged)
+    for build in (
+        lambda t: push_adjacency_table(t, weighted=True),
+        lambda t: push_adjacency_table(t, weighted=False),
+        lambda t: gather_adjacency_table(t, "src", False),
+    ):
+        assert _rows(build(merged)) == _rows(build(fresh))
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in push_adjacency_table(merged, weighted=True).collect()}
+    assert got[(1, 2)] == 1.0 and got[(2, 1)] == 1.0
+    for t in (merged, fresh, base):
+        invalidate_prepared(t)
 
 
 def test_weight_only_delta_patches_weighted_layouts(spark):
@@ -278,6 +329,74 @@ def test_merged_vertices_drive_operators(spark):
     assert comp[7] == 7  # isolated → own component
     assert comp[1] == comp[2] == comp[3]
     invalidate_prepared(edges)
+
+
+def test_mutate_single_call_routes_both_tables(spark):
+    """``mutate`` is the literal one-call Mutate shape
+    (mutable_edgecut_fragment.h:191): one delta mixing vertex and edge
+    ops applied to both tables, with ``delv`` routed to BOTH — vertex row
+    dropped AND incident edges removed, like vertices_to_remove."""
+    from tests.conftest import make_edges
+    from libgrape_lite_spark.mutation import mutate
+    from libgrape_lite_spark.plans.kernels import invalidate_prepared
+
+    base_v = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d"), (5, "e")], "id long, oid string"
+    )
+    base_e = make_edges(spark, BASE_PAIRS)
+    delta = spark.createDataFrame(
+        [
+            ("addv", 6, "f", None, None, None),
+            ("updv", 2, "B", None, None, None),
+            ("delv", 5, None, None, None, None),
+            ("add", None, None, 1, 6, 0.3),
+            ("del", None, None, 3, 4, None),
+            ("upd", None, None, 2, 3, 9.0),
+        ],
+        "op string, id long, oid string, src long, dst long, weight double",
+    )
+    v2, e2 = mutate(base_v, base_e, delta)
+    assert _rows(v2) == [(1, "a"), (2, "B"), (3, "c"), (4, "d"), (6, "f")]
+    # delv 5 removed (2,5) and (5,1); del removed both parallel (3,4);
+    # upd rewrote (2,3); add appended (1,6)
+    assert _rows(e2) == [(1, 2, 1.0), (1, 4, 0.9), (1, 6, 0.3), (2, 3, 9.0)]
+    invalidate_prepared(base_e)
+    invalidate_prepared(e2)
+
+
+def test_mutate_untouched_side_is_returned_unchanged(spark):
+    """A side with no ops for it comes back as the SAME object — prepared
+    layouts and pins untouched."""
+    from tests.conftest import make_edges, make_vertices
+    from libgrape_lite_spark.mutation import mutate
+    from libgrape_lite_spark.plans.kernels import invalidate_prepared
+
+    base_v = make_vertices(spark, [1, 2, 3])
+    base_e = make_edges(spark, [(1, 2, 1.0), (2, 3, 2.0)])
+    v2, e2 = mutate(
+        base_v,
+        base_e,
+        spark.createDataFrame(
+            [("add", 3, 1, 0.5)], "op string, src long, dst long, weight double"
+        ),
+    )
+    assert v2 is base_v
+    assert _rows(e2) == [(1, 2, 1.0), (2, 3, 2.0), (3, 1, 0.5)]
+    v3, e3 = mutate(
+        base_v, base_e, spark.createDataFrame([("addv", 9)], "op string, id long")
+    )
+    assert e3 is base_e
+    assert _rows(v3) == [(1,), (2,), (3,), (9,)]
+    with pytest.raises(ValueError, match="unknown mutation ops"):
+        mutate(base_v, base_e, spark.createDataFrame([("zap", 1)], "op string, id long"))
+    with pytest.raises(ValueError, match="need an 'id' column"):
+        mutate(
+            base_v,
+            base_e,
+            spark.createDataFrame([("delv", 1)], "op string, src long"),
+        )
+    invalidate_prepared(base_e)
+    invalidate_prepared(e2)
 
 
 def test_patch_falls_back_to_rebuild_when_base_layout_released(spark):
