@@ -23,10 +23,11 @@ shuffle. :func:`merge_edges` closes the gap in two tiers:
     anti-joins remove deleted rows, the delta-sized set of TOUCHED
     (src, dst) pairs is recomputed from the merged table, and only the
     final co-partitioning shuffle is re-paid (zero shuffles for a
-    pure-removal delta whose removals are resolvable by anti-join alone:
-    delv always, del only on directed graphs — an undirected del must
-    recompute its pair, because the stored reverse orientation may
-    survive). This is the Spark shape of the reference's
+    pure-removal delta: broadcast anti-joins preserve the base layout's
+    partitioning — except the usually-empty set of del pairs whose
+    reverse-stored orientation survives in the merged table, which
+    undirected layouts must recompute, not anti-join away).
+    This is the Spark shape of the reference's
     patch-only-affected-CSR-segments (mutable_edgecut_fragment.h:191-260):
     untouched rows never leave their blocks' lineage, the delta-sized
     frontier is rebuilt exactly.
@@ -148,6 +149,19 @@ def _weight_dependent(key: tuple) -> bool:
     return key[0] == "push" and bool(key[2])
 
 
+def _key_undirected(key: tuple) -> bool:
+    """True when a prep-cache key is an UNDIRECTED (doubled) layout —
+    the ones whose del patching needs the survivor recompute."""
+    kind = key[0]
+    if kind == "push":
+        return not key[1]
+    if kind in ("gather", "gather_dst_kernel"):
+        return not key[2]
+    if kind == "pie":
+        return not key[3]
+    return False
+
+
 def _doubled(df: DataFrame, directed: bool) -> DataFrame:
     if directed:
         return df
@@ -161,24 +175,23 @@ def _apply_removals(df, directed, vids, dels):
     anti-joins (delta-sized right sides) that preserve the layout's
     partitioning.
 
-    ``dels`` may only be passed for DIRECTED layouts, where a del is an
-    exact-orientation match and every stored copy of the pair vanishes.
-    On undirected layouts a del pair must go through the TOUCHED-pair
-    recompute instead (``_layout_patch_thunk`` routes it there): the
-    doubled layout rows for pair {a, b} are backed by stored copies of
-    EITHER orientation, so deleting stored (b, a) while stored (a, b)
-    survives must keep both doubled rows — and re-derive pair-min
-    weights, since the removed orientation may have held the min
-    (hypothesis-found in round 7, test_merge_edges_matches_rebuild_and_
-    oracle: base (1,2,1.0) + del (2,1) wrongly emptied the pair)."""
+    ``dels`` matches both orientations on undirected layouts, exact
+    orientation on directed ones. CORRECTNESS CAVEAT (hypothesis-found
+    in round 7, test_merge_edges_matches_rebuild_and_oracle): on an
+    undirected layout the doubled rows of pair {a, b} are backed by
+    stored copies of EITHER orientation, so a del of (b, a) whose
+    reverse-stored (a, b) survives must not leave the pair removed —
+    the caller must ALSO put every del pair that still exists in the
+    merged table into the touched-pair recompute (``merge_edges``
+    computes that delta-sized survivor set once per merge; fully-dead
+    pairs stay on this zero-shuffle anti-join path)."""
     if vids is not None:
         df = df.join(
             F.broadcast(vids.select(F.col("vid").alias("src"))), "src", "left_anti"
         ).join(F.broadcast(vids.select(F.col("vid").alias("dst"))), "dst", "left_anti")
     if dels is not None:
-        assert directed, "undirected del pairs must recompute, not anti-join"
         df = df.join(
-            F.broadcast(dels.dropDuplicates(["src", "dst"])),
+            F.broadcast(_doubled(dels, directed).dropDuplicates(["src", "dst"])),
             ["src", "dst"],
             "left_anti",
         )
@@ -189,7 +202,7 @@ def _touched_pairs(directed, *deltas):
     """The delta-sized set of (src, dst) pairs whose layout rows must be
     recomputed from the merged table (both orientations on undirected
     layouts). None when nothing needs a recompute (no adds/updates, and
-    no undirected dels)."""
+    no del pairs with reverse-stored survivors)."""
     frames = [d.select("src", "dst") for d in deltas if d is not None]
     if not frames:
         return None
@@ -222,10 +235,9 @@ def _patch_layout(
 
     Cost: two narrow scans (survivors over the base layout's pinned
     blocks, touched copies over the merged table's) + the final
-    co-partitioning shuffle; a delta whose removals are all anti-join
-    resolvable (delv always; del only when directed) and adds/updates
-    nothing skips even that shuffle because broadcast anti-joins
-    preserve the base layout's partitioning.
+    co-partitioning shuffle; a pure-removal delta (``touched`` None —
+    dels with no reverse-stored survivors, delv) skips even that shuffle
+    because broadcast anti-joins preserve the base layout's partitioning.
     """
     survive = _apply_removals(old, directed, vids, dels)
     if touched is None:
@@ -257,19 +269,22 @@ def _patch_layout(
     return out.localCheckpoint(eager=True)
 
 
-def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds):
+def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds, del_surv):
     """A lazy patcher for one prep-cache key, or None if unknown. Runs on
     first use via ``cached_prepared``'s pending hook; falls back to a full
     rebuild there if it raises (e.g. the base layout was LRU-evicted)."""
     kind = key[0]
 
     def _route(directed, *weight_deltas):
-        """(touched, del_rm): directed dels anti-join exactly (every
-        stored copy of the pair vanishes); undirected dels join the
-        touched recompute instead — see _apply_removals."""
-        if directed or dels is None:
+        """(touched, del_rm): dels anti-join away on every layout (both
+        orientations when undirected); on UNDIRECTED layouts the del
+        pairs that still exist in the merged table (reverse-stored
+        survivors, ``del_surv`` — delta-sized, usually empty) are
+        additionally recomputed, keeping the common all-copies-gone del
+        on the zero-shuffle path — see _apply_removals."""
+        if directed or del_surv is None:
             return _touched_pairs(directed, *weight_deltas), dels
-        return _touched_pairs(directed, *weight_deltas, dels), None
+        return _touched_pairs(directed, *weight_deltas, del_surv), dels
 
     if kind == "push":
         directed, weighted = key[1], key[2]
@@ -428,6 +443,33 @@ def merge_edges(
     for d in (vids, dels, upds, adds):
         if d is not None:
             mcache.pinned_ids.update(_pinned_rdd_ids(d))
+    del_surv = None
+    if (
+        dels is not None
+        and patch_layouts
+        and base_cache
+        and any(_key_undirected(k) for k in base_cache)
+    ):
+        # del pairs still PRESENT in the merged table — a del only removes
+        # its exact stored orientation, so a reverse-stored copy survives
+        # and undirected layouts must recompute that pair instead of
+        # anti-joining it away (hypothesis-found, round 7). One narrow
+        # broadcast-semi scan of the merged table, delta-sized output;
+        # usually empty, keeping the common all-copies-gone del on the
+        # thunks' zero-shuffle anti-join path.
+        present = (
+            merged.select("src", "dst")
+            .join(
+                F.broadcast(_doubled(dels, False).dropDuplicates(["src", "dst"])),
+                ["src", "dst"],
+                "left_semi",
+            )
+            .dropDuplicates(["src", "dst"])
+            .localCheckpoint(eager=True)
+        )
+        mcache.pinned_ids.update(_pinned_rdd_ids(present))
+        if present.take(1):
+            del_surv = _doubled(present, False).dropDuplicates(["src", "dst"])
     if base_cache:
         for key, val in list(base_cache.items()):
             if key[0] == "outdeg":
@@ -444,7 +486,7 @@ def merge_edges(
                 carried.append(key)
             elif patch_layouts:
                 thunk = _layout_patch_thunk(
-                    key, val, merged, has_w, vids, dels, upds, adds
+                    key, val, merged, has_w, vids, dels, upds, adds, del_surv
                 )
                 if thunk is not None:
                     mcache.pending[key] = thunk

@@ -160,11 +160,10 @@ def test_operators_agree_on_patched_graph(spark):
 
 
 def test_pure_removal_delta_patches_without_touched_recompute(spark):
-    """A removal delta resolvable by anti-join alone — delv on undirected
-    (every doubled row of the vertex's pairs has it as an endpoint), or
-    del/delv on directed (a del kills every stored copy of its exact
-    orientation) — patches layouts without the touched-pair recompute,
-    so the base layout's partitioning survives un-shuffled."""
+    """A removal delta resolvable by anti-join alone — delv, directed
+    del, or undirected del with no reverse-stored survivor — patches
+    layouts without the touched-pair recompute, so the base layout's
+    partitioning survives un-shuffled."""
     from tests.conftest import make_edges, make_vertices
     from libgrape_lite_spark.mutation import merge_edges
     from libgrape_lite_spark.plans.kernels import (
