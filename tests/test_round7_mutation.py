@@ -37,6 +37,12 @@ MIXED_DELTA = [
     ("add", 3, 2, 0.7),     # reverse orientation of stored (2, 3)
     ("add", 4, 4, 1.0),     # self-loop
     ("del", 3, 4, 0.0),     # removes every parallel copy of (3, 4)
+    ("del", 2, 1, 0.0),     # reverse of stored (1, 2): no stored copy of
+                            # this orientation, so the table keeps (1, 2) —
+                            # undirected layouts must keep the pair's
+                            # doubled rows too (the hypothesis-found r7
+                            # bug, here exercised on EVERY layout kind
+                            # including pie and the cogroup kernel)
     ("delv", 5, 0, 0.0),    # removes every edge incident to vertex 5
     ("upd", 2, 3, 9.0),     # weight update on a stored pair
     ("upd", 4, 1, 9.9),     # reverse of stored (1, 4): must not match
