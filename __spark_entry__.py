@@ -393,6 +393,83 @@ def _q_vertex_mutation(spark, sf_dir):
     return merged.select("id", "label")
 
 
+def _q_graph_mutation(spark, sf_dir):
+    """The combined one-call Mutate (mutation.mutate — the literal
+    ``MutableEdgecutFragment::Mutate(Mutation&)`` shape,
+    mutable_edgecut_fragment.h:191) as an oracle-gated query: ONE mixed
+    delta — delv the 10 oid-smallest vertices (vertex rows AND incident
+    edges, like vertices_to_remove), relabel the next 10, add 5 synthetic
+    vertices, del the 25 (src, dst)-smallest edges, bump the weight of
+    the next 25, add 10 synthetic edges — applied to both tables in one
+    call. Result summarizes BOTH merged tables: per surviving vertex, its
+    label, merged out-degree and rounded out-weight sum. The DuckDB
+    mirror applies the same delta with plain SQL set ops; oid and
+    (src, dst) orders are total so both engines pick identical rows."""
+    from pyspark.sql.window import Window
+
+    from libgrape_lite_spark import transients
+    from libgrape_lite_spark.mutation import mutate
+
+    vertices, _ = _graph(spark, sf_dir)
+    v = vertices.select(
+        F.col("oid").alias("id"),
+        F.split(F.col("oid"), ":").getItem(0).alias("label"),
+    )
+    e = _q_edges(spark, sf_dir).select(
+        F.col("src_oid").alias("src"), F.col("dst_oid").alias("dst"), "weight"
+    )
+    vr = v.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    er = e.withColumn("rn", F.row_number().over(Window.orderBy("src", "dst")))
+    ns = F.lit(None).cast("string")
+    nd = F.lit(None).cast("double")
+    delta = (
+        vr.where("rn <= 10")
+        .select(F.lit("delv").alias("op"), "id", ns.alias("label"),
+                ns.alias("src"), ns.alias("dst"), nd.alias("weight"))
+        .unionByName(
+            vr.where("rn > 10 AND rn <= 20").select(
+                F.lit("updv").alias("op"), "id", F.lit("relabeled").alias("label"),
+                ns.alias("src"), ns.alias("dst"), nd.alias("weight"))
+        )
+        .unionByName(
+            spark.range(5).select(
+                F.lit("addv").alias("op"),
+                F.concat(F.lit("mv::"), F.col("id")).alias("id"),
+                F.lit("new").alias("label"),
+                ns.alias("src"), ns.alias("dst"), nd.alias("weight"))
+        )
+        .unionByName(
+            er.where("rn <= 25").select(
+                F.lit("del").alias("op"), ns.alias("id"), ns.alias("label"),
+                "src", "dst", "weight")
+        )
+        .unionByName(
+            er.where("rn > 25 AND rn <= 50").select(
+                F.lit("upd").alias("op"), ns.alias("id"), ns.alias("label"),
+                "src", "dst", (F.col("weight") + 1.0).alias("weight"))
+        )
+        .unionByName(
+            spark.range(10).select(
+                F.lit("add").alias("op"), ns.alias("id"), ns.alias("label"),
+                F.concat(F.lit("me::"), F.col("id")).alias("src"),
+                F.concat(F.lit("medst::"), F.col("id")).alias("dst"),
+                F.lit(1.0).alias("weight"))
+        )
+    )
+    v2, e2 = mutate(v, e, delta)
+    transients.register(v2)
+    transients.register(e2)
+    outdeg = e2.groupBy(F.col("src").alias("id")).agg(
+        F.count(F.lit(1)).alias("outdeg"), F.sum("weight").alias("wsum")
+    )
+    return v2.join(outdeg, "id", "left").select(
+        "id",
+        "label",
+        F.coalesce("outdeg", F.lit(0)).cast("long").alias("outdeg"),
+        F.round(F.coalesce("wsum", F.lit(0.0)), 6).alias("wsum"),
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: WCC component sizes on the sf0.001 transcript graph."""
     vertices, edges = _graph(spark, "/root/testdata/sf0.001")
@@ -457,6 +534,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_bytes": _q_multimodal_bytes,
         "edge_mutation": _q_edge_mutation,
         "vertex_mutation": _q_vertex_mutation,
+        "graph_mutation": _q_graph_mutation,
     }
     # every callable frees the previous query's transient checkpoint
     # blocks (no-op when none are registered — cheap for graph queries)
@@ -1063,6 +1141,42 @@ SELECT 'newv::' || CAST(i AS VARCHAR) AS id, 'new' AS label
 FROM range(10) t(i)"""
 
 
+def _sql_graph_mutation() -> str:
+    """SQL mirror of _q_graph_mutation: one mixed delta applied to both
+    tables — delv rank 1-10 (vertex rows AND incident edges), updv 11-20,
+    5 synthetic vertices, del edge-rank 1-25, upd 26-50, 10 synthetic
+    edges — then per-vertex label + merged out-degree + out-weight sum."""
+    return f"""WITH {_EDGES},
+v AS (SELECT oid AS id, split_part(oid, ':', 1) AS label FROM vertices),
+vr AS (SELECT id, label, ROW_NUMBER() OVER (ORDER BY id) AS rn FROM v),
+delv AS (SELECT id FROM vr WHERE rn <= 10),
+v2 AS (
+  SELECT id, CASE WHEN rn > 10 AND rn <= 20 THEN 'relabeled' ELSE label END AS label
+  FROM vr WHERE rn > 10
+  UNION ALL
+  SELECT 'mv::' || CAST(i AS VARCHAR), 'new' FROM range(5) t(i)
+),
+be AS (SELECT src_oid AS src, dst_oid AS dst, weight FROM edges),
+er AS (SELECT src, dst, weight, ROW_NUMBER() OVER (ORDER BY src, dst) AS rn FROM be),
+e2 AS (
+  SELECT src, dst,
+         CASE WHEN rn > 25 AND rn <= 50 THEN weight + 1.0 ELSE weight END AS weight
+  FROM er
+  WHERE rn > 25
+    AND src NOT IN (SELECT id FROM delv)
+    AND dst NOT IN (SELECT id FROM delv)
+  UNION ALL
+  SELECT 'me::' || CAST(i AS VARCHAR), 'medst::' || CAST(i AS VARCHAR),
+         CAST(1.0 AS DOUBLE)
+  FROM range(10) t(i)
+),
+od AS (SELECT src AS id, COUNT(*) AS c, SUM(weight) AS ws FROM e2 GROUP BY src)
+SELECT v2.id, v2.label,
+       CAST(COALESCE(od.c, 0) AS BIGINT) AS outdeg,
+       ROUND(COALESCE(od.ws, 0.0), 6) AS wsum
+FROM v2 LEFT JOIN od ON v2.id = od.id"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "transcripts_turns": f"WITH {_TRANSCRIPTS} SELECT conv_id, turn_idx, role, tool, text FROM transcripts",
@@ -1094,4 +1208,5 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_bytes": _sql_multimodal(),
         "edge_mutation": _sql_edge_mutation(),
         "vertex_mutation": _sql_vertex_mutation(),
+        "graph_mutation": _sql_graph_mutation(),
     }

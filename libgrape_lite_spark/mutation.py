@@ -563,13 +563,20 @@ def mutate(
             )
         if "delv" in ops:
             # vertex id rides in `src` for merge_edges' incident-edge drop
-            # (the 'id' column is guaranteed by the vertex_ops check above)
+            # (the 'id' column is guaranteed by the vertex_ops check
+            # above); dst/weight reuse the delta's own columns — null on
+            # delv rows, ignored by merge_edges — so the union keeps the
+            # edge columns' types (ids may be strings, not just longs)
+            dst = (
+                F.col("dst") if "dst" in delta.columns
+                else F.lit(None).cast("long")
+            )
             parts.append(
                 delta.where(F.col("op") == "delv").select(
                     "op",
                     F.col("id").alias("src"),
-                    F.lit(None).cast("long").alias("dst"),
-                    *([F.lit(None).cast("double").alias("weight")]
+                    dst.alias("dst"),
+                    *([F.col("weight").cast("double").alias("weight")]
                       if "weight" in delta.columns else []),
                 )
             )
