@@ -197,6 +197,19 @@ def main() -> None:
     # record ran at loadavg 5.35 (its own pipeline activity) and produced
     # a number an idle box could not reproduce
     raw["quotable_idle_start"] = bool(loadavg_at_start and loadavg_at_start[0] < 2.0)
+    # within-run shape check (r7): loadavg gates what THIS guest is doing,
+    # but hypervisor neighbors are invisible to it — bench_1787056367 was
+    # idle-start yet read sssp 7.2 -> 16.7 -> 23.8 s DEGRADING within one
+    # JVM, which no warm-up effect produces. A healthy triple decays (JIT/
+    # codegen warm-up); an op whose 3rd run exceeds 1.5x its 1st marks the
+    # window as noise-contaminated and the record as non-quotable.
+    degrading = sorted(
+        op
+        for op, runs in out.get("op_runs_sec", {}).items()
+        if len(runs) >= 3 and runs[-1] > 1.5 * runs[0]
+    )
+    raw["degrading_ops"] = degrading
+    raw["quotable"] = raw["quotable_idle_start"] and not degrading
     try:
         RUNS_DIR.mkdir(parents=True, exist_ok=True)
         run_file = RUNS_DIR / f"bench_{int(wall_start)}.json"
