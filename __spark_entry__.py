@@ -320,7 +320,11 @@ def _q_edge_mutation(spark, sf_dir):
     base = _q_edges(spark, sf_dir).select(
         F.col("src_oid").alias("src"), F.col("dst_oid").alias("dst"), "weight"
     )
-    ranked = base.withColumn(
+    # deterministic "k smallest" WITHOUT a global single-partition window
+    # (WindowExec over the whole edge table is the one shape that cannot
+    # scale): a distributed TopK (orderBy + limit = TakeOrderedAndProject)
+    # collects only the 100-row head, and the rank window runs over THAT
+    ranked = base.orderBy("src", "dst").limit(100).withColumn(
         "rn", F.row_number().over(Window.orderBy("src", "dst"))
     )
     dels = ranked.where(F.col("rn") <= 50).select(
@@ -373,7 +377,11 @@ def _q_vertex_mutation(spark, sf_dir):
         F.col("oid").alias("id"),
         F.split(F.col("oid"), ":").getItem(0).alias("label"),
     )
-    ranked = v.withColumn("rn", F.row_number().over(Window.orderBy("id")))
+    # distributed TopK head, then a tiny window over 50 rows (see
+    # _q_edge_mutation — no global single-partition WindowExec)
+    ranked = v.orderBy("id").limit(50).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
     delv = ranked.where("rn <= 20").select(
         F.lit("delv").alias("op"), "id", F.lit(None).cast("string").alias("label")
     )
@@ -418,8 +426,13 @@ def _q_graph_mutation(spark, sf_dir):
     e = _q_edges(spark, sf_dir).select(
         F.col("src_oid").alias("src"), F.col("dst_oid").alias("dst"), "weight"
     )
-    vr = v.withColumn("rn", F.row_number().over(Window.orderBy("id")))
-    er = e.withColumn("rn", F.row_number().over(Window.orderBy("src", "dst")))
+    # distributed TopK heads, then tiny windows (no global WindowExec)
+    vr = v.orderBy("id").limit(20).withColumn(
+        "rn", F.row_number().over(Window.orderBy("id"))
+    )
+    er = e.orderBy("src", "dst").limit(50).withColumn(
+        "rn", F.row_number().over(Window.orderBy("src", "dst"))
+    )
     ns = F.lit(None).cast("string")
     nd = F.lit(None).cast("double")
     delta = (
