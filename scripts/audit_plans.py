@@ -200,6 +200,28 @@ def main() -> int:
          else "row python or cartesian found"))
     sections.append(("IVF ANN probe (assign/score kernels + top-k)", p9))
 
+    # 10. mutation layout patch, pure-removal path (merge_edges delv/del
+    # with no reverse-stored survivors): broadcast anti-joins over the
+    # pinned layout must preserve its partitioning — ZERO shuffle
+    # Exchanges in the patch plan (the BENCH/BASELINE.md zero-shuffle
+    # claim, machine-checked; BroadcastExchange of the delta-sized
+    # removal sets is expected and not counted)
+    from libgrape_lite_spark.mutation import _apply_removals
+
+    with static_plans(spark):
+        vids = spark.createDataFrame([(7,)], "vid long").localCheckpoint(eager=True)
+        patched = _apply_removals(adj_p.select("src", "dst", "part"), False, vids, None)
+        p10 = plan_of(patched)
+    phys10 = p10.split("== Physical Plan ==")[1]
+    n_ex10 = len(re.findall(r"\(\d+\) Exchange", phys10))
+    ok10 = n_ex10 == 0 and "BroadcastHashJoin" in phys10
+    results.append(
+        ("mutation patch (pure removal): broadcast anti-joins, zero shuffle "
+         "Exchanges — pinned layout partitioning preserved",
+         ok10, f"shuffle exchanges={n_ex10}, "
+         f"anti-join={'broadcast' if 'BroadcastHashJoin' in phys10 else 'MISSING'}"))
+    sections.append(("Mutation layout patch, pure-removal path (delv anti-joins)", p10))
+
     ok = True
     lines = ["# PLANS — audited physical plans (scripts/audit_plans.py)\n"]
     for name, passed, ev in results:
