@@ -445,6 +445,10 @@ def segment_part_bounds(col: str, bounds: list[int]):
 
 _PREP_CACHE_ATTR = "_lgls_prepared"
 
+#: count of mutation patch thunks that raised and fell back to a full
+#: rebuild (observability — see cached_prepared; tests can assert == 0)
+_PATCH_FALLBACKS = 0
+
 # Max pinned layouts per edge table. A full analytics session over one
 # graph (all six algorithm apps incl. kernel variants) touches 7 distinct
 # layouts — pie fragment, push×2, pr gather, dst gather ×2, degree — so 8
@@ -597,9 +601,21 @@ def cached_prepared(edges: DataFrame, key: tuple, build):
             # the layout from the base graph's pinned layout instead of
             # rebuilding. Falls back to the full build if the base layout
             # was released underneath it (LRU eviction / dropped base).
+            # The fallback is LOGGED + counted (ADVICE r7): a
+            # systematically broken thunk would otherwise hide behind the
+            # rebuild and never surface in tests or benchmarks.
             try:
                 val = thunk()
             except Exception:
+                global _PATCH_FALLBACKS
+                _PATCH_FALLBACKS += 1
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "mutation patch thunk for %s failed; falling back to a "
+                    "full rebuild (fallback #%d)", key, _PATCH_FALLBACKS,
+                    exc_info=True,
+                )
                 val = None
         _prep_put(cache, key, val if val is not None else build())
     return cache[key]
