@@ -32,23 +32,29 @@ def _turn_oid(conv_col: str = "conv_id", idx_col: str = "turn_idx"):
     return F.concat(F.col(conv_col), F.lit(":"), F.col(idx_col).cast("string"))
 
 
-def derive_edges(transcripts: DataFrame) -> DataFrame:
-    """transcripts → edges(src_oid, dst_oid, weight, etype).
+def _with_prev(transcripts: DataFrame) -> DataFrame:
+    """The windowed intermediate every derivation rule reads: the base
+    transcript columns plus the ``prev_idx``/``prev_role`` lag columns.
+    Rule 2 (tool) and the turns-as-vertices projection only need the base
+    columns, which ride along so ONE materialization serves all
+    consumers.
 
-    One shuffle total for rules 1+3 (both consume the same
-    (conv_id, turn_idx) window partitioning — Catalyst reuses the sort),
-    plus a narrow projection for rule 2.
-    """
+    When the source already carries the lag columns (events_to_transcripts
+    computes them inside its own window pass — same partitioning, same
+    order, identical values), this is a narrow projection; otherwise one
+    (conv_id, turn_idx)-windowed pass adds them."""
+    cols = ["conv_id", "turn_idx", "role", "tool"]
+    if {"prev_idx", "prev_role"} <= set(transcripts.columns):
+        return transcripts.select(*cols, "prev_idx", "prev_role")
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
-    with_prev = transcripts.select(
-        "conv_id",
-        "turn_idx",
-        "role",
-        "tool",
+    return transcripts.select(
+        *cols,
         F.lag("turn_idx").over(w).alias("prev_idx"),
         F.lag("role").over(w).alias("prev_role"),
     )
 
+
+def _edges_from_prev(with_prev: DataFrame) -> DataFrame:
     reply = (
         with_prev.where(F.col("prev_idx").isNotNull())
         .select(
@@ -62,7 +68,7 @@ def derive_edges(transcripts: DataFrame) -> DataFrame:
     )
 
     tool = (
-        transcripts.where(F.col("tool").isNotNull())
+        with_prev.where(F.col("tool").isNotNull())
         .select(
             _turn_oid().alias("src_oid"),
             F.concat(F.lit("tool::"), F.col("tool")).alias("dst_oid"),
@@ -91,6 +97,23 @@ def derive_edges(transcripts: DataFrame) -> DataFrame:
     return reply.unionByName(tool).unionByName(role_transition)
 
 
+def derive_edges(transcripts: DataFrame) -> DataFrame:
+    """transcripts → edges(src_oid, dst_oid, weight, etype).
+
+    The three rules consume ONE materialized windowed pass
+    (:func:`_with_prev`, registered as a transient): without the
+    materialization the union's three branches re-ran the upstream
+    row_number + lag windows per branch — plan-audited round 8: 3× the
+    events scan, 3× the row_number window, 2× the lag sort+window per
+    build (guide §2.4: remove repeated passes; exchange reuse does not
+    cover the per-branch Sort+Window above the reused shuffle).
+    """
+    from libgrape_lite_spark import transients
+
+    wp = transients.register(_with_prev(transcripts).localCheckpoint(eager=True))
+    return _edges_from_prev(wp)
+
+
 def build_graph_from_transcripts(
     transcripts: DataFrame, broadcast_dict: bool = True
 ) -> tuple[DataFrame, DataFrame]:
@@ -102,15 +125,21 @@ def build_graph_from_transcripts(
     any edge; a fully isolated vertex set can be unioned in by callers that
     need LDBC .v-file semantics.
     """
+    from libgrape_lite_spark import transients
+
+    # ONE windowed pass over the transcripts serves the edge derivation
+    # AND the turns-as-vertices projection (r8, guide §2.4 — previously
+    # the turns branch re-ran the row_number window over the events scan)
+    wp = transients.register(_with_prev(transcripts).localCheckpoint(eager=True))
     # materialize the derived edges once — they feed both the vertex
     # dictionary (endpoints union) and the id-translation join; without
     # this the 3-branch derivation recomputes per consumer
-    e_oid = derive_edges(transcripts).localCheckpoint(eager=True)
+    e_oid = _edges_from_prev(wp).localCheckpoint(eager=True)
     endpoints = e_oid.select(F.col("src_oid").alias("oid")).unionByName(
         e_oid.select(F.col("dst_oid").alias("oid"))
     )
     # every turn is a vertex even if isolated (matches .v-file semantics)
-    turns = transcripts.select(_turn_oid().alias("oid"))
+    turns = wp.select(_turn_oid().alias("oid"))
     vertices = encode_vertices(endpoints.unionByName(turns))
     edges = encode_edges(e_oid, vertices, broadcast_dict=broadcast_dict)
     return vertices, edges

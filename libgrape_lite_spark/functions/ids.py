@@ -15,8 +15,10 @@ distributed order-preserving zip-with-index:
 1. ``repartitionByRange('oid')`` + ``sortWithinPartitions`` (range shuffle,
    fully parallel — same machinery as a distributed sort),
 2. collect only the tiny per-partition row counts,
-3. broadcast the cumulative offsets into an Arrow-batched kernel that
-   assigns ``id = offset[partition] + local_position``.
+3. broadcast-join the cumulative offsets and assign
+   ``id = offset[partition] + (row_number over partition-id) - 1`` — a
+   JVM window whose groups are the individual sorted partitions (never a
+   single global partition).
 
 This mirrors the reference's fid-partitioned id space (id_parser.h packs
 fid‖lid; we keep plain longs, SURVEY.md §1.4).
@@ -24,9 +26,6 @@ fid‖lid; we keep plain longs, SURVEY.md §1.4).
 
 from __future__ import annotations
 
-from collections.abc import Iterator
-
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
@@ -39,13 +38,29 @@ VERTEX_SCHEMA = StructType(
 def encode_vertices(oids: DataFrame, num_partitions: int | None = None) -> DataFrame:
     """DataFrame with column ``oid`` → dictionary DataFrame(id, oid),
     ids dense 0..N-1 in oid order. Distributed (no single-partition window).
+
+    The per-partition position is assigned with a JVM window partitioned
+    by the range-partition id (each window group is one sorted partition,
+    so the sort inside the window is over already-ordered data), plus a
+    broadcast join against the tiny per-partition offset table. This
+    replaced the r1-r7 ``mapInPandas`` assignment (identical ids): the
+    graph build is the first job of a session, and the Python pass made it
+    pay the whole executor Python-worker pool spin-up + an O(V) JVM→Python
+    →JVM round trip that a window over ≤ a-partition-per-group does not
+    (guide §4.1: prefer built-ins; measured r8 in OPTIMIZATION_r08.md).
     """
     spark = oids.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
     sorted_oids = (
         oids.select("oid").distinct().repartitionByRange(n, "oid").sortWithinPartitions("oid")
     )
-    sorted_oids = sorted_oids.cache()
+    # cached: the counts pass and the assignment pass must see identical
+    # partitions; registered as a transient so oracle/bench sessions
+    # release the O(V) cache once the dictionary is consumed (pre-r8 it
+    # stayed pinned for the session)
+    from libgrape_lite_spark import transients
+
+    sorted_oids = transients.register(sorted_oids.cache())
     # tiny collect: one row per partition
     counts = (
         sorted_oids.select(F.spark_partition_id().alias("pid"))
@@ -54,24 +69,24 @@ def encode_vertices(oids: DataFrame, num_partitions: int | None = None) -> DataF
         .collect()
     )
     count_by_pid = {r["pid"]: r["count"] for r in counts}
-    offsets: dict[int, int] = {}
+    offsets: list[tuple[int, int]] = []
     acc = 0
     for pid in range(max(count_by_pid, default=-1) + 1):
-        offsets[pid] = acc
+        offsets.append((pid, acc))
         acc += count_by_pid.get(pid, 0)
+    off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
 
-    def assign(iterator: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from pyspark import TaskContext
+    from pyspark.sql.window import Window
 
-        pid = TaskContext.get().partitionId()
-        base = offsets.get(pid, 0)
-        pos = 0
-        for pdf in iterator:
-            ids = pd.RangeIndex(base + pos, base + pos + len(pdf)).to_numpy()
-            pos += len(pdf)
-            yield pd.DataFrame({"id": ids, "oid": pdf["oid"].to_numpy()})
-
-    out = sorted_oids.mapInPandas(assign, schema=VERTEX_SCHEMA)
+    w = Window.partitionBy("pid").orderBy("oid")
+    out = (
+        sorted_oids.withColumn("pid", F.spark_partition_id())
+        .join(F.broadcast(off_df), "pid")
+        .select(
+            (F.row_number().over(w) - 1 + F.col("off")).alias("id"),
+            "oid",
+        )
+    )
     return out
 
 

@@ -24,13 +24,25 @@ from pyspark.sql.window import Window
 
 
 def events_to_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Also carries ``prev_idx``/``prev_role`` lag columns computed in the
+    SAME window pass as ``turn_idx`` (one exchange + sort total): the edge
+    derivation needs lag over (conv_id, turn_idx), and within a user the
+    (ts, event_id) order IS the turn_idx order, so the lags coincide —
+    computing them here saves the derivation's second full exchange+sort
+    over the transcript table (r8, guide §2.4; consumers that only want
+    the transcript shape simply don't select them)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    turn_idx = (F.row_number().over(w) - 1).cast("int")
     return ev.select(
         F.concat(F.lit("conv_"), F.col("user_id").cast("string")).alias("conv_id"),
-        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        turn_idx.alias("turn_idx"),
         F.col("event_type").alias("role"),
         F.col("props").alias("text"),
         F.when(F.col("value") >= 10.0, F.col("event_type")).alias("tool"),
         F.col("ts"),
+        # turn_idx is row_number-1, dense per conversation, so the lagged
+        # index is exactly turn_idx-1 (no nested window needed)
+        F.when(turn_idx > 0, turn_idx - 1).cast("int").alias("prev_idx"),
+        F.lag("event_type").over(w).alias("prev_role"),
     )

@@ -28,7 +28,8 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 def one_pass(spark, tag):
     from pyspark.sql import functions as F
 
-    from libgrape_lite_spark.functions.edges import derive_edges
+    from libgrape_lite_spark import transients
+    from libgrape_lite_spark.functions import edges as edges_mod
     from libgrape_lite_spark.functions.ids import encode_edges, encode_vertices
     from libgrape_lite_spark.sources.events import events_to_transcripts
 
@@ -42,13 +43,22 @@ def one_pass(spark, tag):
 
     spark.sparkContext.setJobDescription(f"{tag}: derive+checkpoint edges")
     tr = events_to_transcripts(spark, SF_DIR)
-    e_oid = clock("derive_edges_ckpt", lambda: derive_edges(tr).localCheckpoint(eager=True))
+    wp = clock(
+        "with_prev_ckpt",
+        lambda: transients.register(
+            edges_mod._with_prev(tr).localCheckpoint(eager=True)
+        ),
+    )
+    e_oid = clock(
+        "derive_edges_ckpt",
+        lambda: edges_mod._edges_from_prev(wp).localCheckpoint(eager=True),
+    )
 
     spark.sparkContext.setJobDescription(f"{tag}: encode vertices")
     endpoints = e_oid.select(F.col("src_oid").alias("oid")).unionByName(
         e_oid.select(F.col("dst_oid").alias("oid"))
     )
-    turns = tr.select(
+    turns = wp.select(
         F.concat(F.col("conv_id"), F.lit(":"), F.col("turn_idx").cast("string")).alias("oid")
     )
     vertices = clock(
@@ -100,6 +110,7 @@ def one_pass(spark, tag):
     from libgrape_lite_spark.plans.kernels import invalidate_prepared
 
     invalidate_prepared(edges)
+    transients.release_transients()
     return t
 
 
