@@ -325,7 +325,8 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds, del_sur
             val.select("src", "dst", "weight", "part"), merged, "pair_min",
             directed, has_w, vids, del_rm, touched,
             part_expr=segment_part_bounds("src", bounds),
-            repartition=lambda df: df.repartition(nf, "part"),
+            # keep the build's part-sorted property (cogroup sort elision)
+            repartition=lambda df: df.repartition(nf, "part").sortWithinPartitions("part"),
         )
     if kind == "gather_dst_kernel":
         nf, directed, salts = key[1], key[2], key[3]
@@ -347,9 +348,11 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds, del_sur
                 F.broadcast(touched), ["src", "dst"], "left_semi"
             )
             rec = _doubled(m, directed).withColumn("part", part_expr)
+            # keep the build's part-sorted property (cogroup sort elision)
             return (
                 survive.unionByName(rec)
                 .repartition(nf, "part")
+                .sortWithinPartitions("part")
                 .localCheckpoint(eager=True)
             )
 

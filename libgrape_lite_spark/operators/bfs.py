@@ -202,10 +202,17 @@ def bfs(
             # folded into the partitioned set instead of force-broadcast)
             for r in recent:
                 cand = cand.join(F.broadcast(r.select("id")), "id", "left_anti")
-            nxt = cand.select(
-                "id", F.lit(step).cast("long").alias("depth")
-            ).localCheckpoint(eager=True)
-            active = nxt.count()
+            # frontier size rides the materializing job (observe) — no
+            # second count job over the cached frontier per level
+            from pyspark.sql import Observation
+
+            obs = Observation()
+            nxt = (
+                cand.select("id", F.lit(step).cast("long").alias("depth"))
+                .observe(obs, F.count(F.lit(1)).alias("n"))
+                .localCheckpoint(eager=True)
+            )
+            active = obs.get["n"]
             frontier = nxt.select("id")
             if active > broadcast_rows or len(recent) >= 7:
                 visited_big = compact(nxt)

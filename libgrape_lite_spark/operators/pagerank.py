@@ -208,19 +208,22 @@ def pagerank(
                 .join(gathered, "id", "left")
                 .select("id", "degree", new_r, *(["prev_r"] if tol is not None else []))
             )
-            state = drv.materialize(new_state, step)
-
             if tol is not None:
                 # convergence on final-scale ranks: |Δ(r*deg)| for non-dangling,
-                # |Δr| for dangling (degree multiplier applied at output)
+                # |Δr| for dangling (degree multiplier applied at output).
+                # The max-delta scalar rides the materializing job
+                # (observe) instead of a second per-round collect job.
                 scale = F.when(F.col("degree") > 0, F.col("degree")).otherwise(F.lit(1.0))
-                max_delta = state.select(
-                    F.max(F.abs((F.col("r") - F.col("prev_r")) * scale)).alias("md")
-                ).collect()[0]["md"]
+                state, m = drv.materialize_observed(
+                    new_state, step,
+                    F.max(F.abs((F.col("r") - F.col("prev_r")) * scale)).alias("md"),
+                )
+                max_delta = m["md"]
                 drv.log(step, n, time.time() - t0, op="pagerank", max_delta=max_delta)
                 if max_delta is not None and max_delta < tol:
                     break
             else:
+                state = drv.materialize(new_state, step)
                 drv.log(step, n, time.time() - t0, op="pagerank")
 
     drv.finish()

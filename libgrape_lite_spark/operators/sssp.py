@@ -100,8 +100,11 @@ def sssp(
                     ).alias("improved"),
                 )
             )
-            state = drv.materialize(new_state, step)
-            active = state.where("improved").count()
+            # termination count rides the materializing job (observe)
+            state, m = drv.materialize_observed(
+                new_state, step, F.count(F.when(F.col("improved"), True)).alias("active")
+            )
+            active = m["active"]
             drv.log(step, active, time.time() - t0, op="sssp")
             if active == 0:
                 break
@@ -198,8 +201,10 @@ def _sssp_auto(
                     ).alias("improved"),
                 )
             )
-            state = drv.materialize(new_state, step)
-            active = state.where("improved").count()
+            state, m = drv.materialize_observed(
+                new_state, step, F.count(F.when(F.col("improved"), True)).alias("active")
+            )
+            active = m["active"]
             drv.log(step, active, _time.time() - t0, op="sssp_auto")
             if active == 0:
                 break

@@ -157,8 +157,12 @@ def wcc(
                 new_state = half.select(
                     "id", "comp", (F.col("comp") < F.col("comp0")).alias("changed")
                 )
-            state = drv.materialize(new_state, step)
-            active = state.where("changed").count()
+            # termination count rides the materializing job (observe) —
+            # no second per-round count job over the cached state
+            state, m = drv.materialize_observed(
+                new_state, step, F.count(F.when(F.col("changed"), True)).alias("active")
+            )
+            active = m["active"]
             dense = active > pull_fraction * n_vertices
             drv.log(step, active, time.time() - t0, op="wcc", dense=dense)
             if active == 0:
@@ -232,19 +236,26 @@ def _wcc_two_star(
 
         step = 0
         state = drv.materialize(e, step)
+        n_prev = state.count()
         while max_rounds is None or step < max_rounds:
             import time as _time
 
             t0 = _time.time()
             step += 1
             new = small_star(large_star(state))
-            new = drv.materialize(new, step)
+            # edge-set size rides the materializing job (observe); the
+            # previous round's size is carried in a driver variable, so
+            # the stability check costs zero extra jobs until sizes match
+            new, m = drv.materialize_observed(
+                new, step, F.count(F.lit(1)).alias("n")
+            )
+            n_new = m["n"]
             # set-stability check: same size and no edge left the set ⇒
             # fixpoint (both stars are deterministic set functions)
             changed = 1
-            if new.count() == state.count():
+            if n_new == n_prev:
                 changed = new.subtract(state).limit(1).count()
-            state = new
+            state, n_prev = new, n_new
             drv.log(step, changed, _time.time() - t0, op="wcc_twostar")
             if changed == 0:
                 break
@@ -302,8 +313,10 @@ def _wcc_kernel(
                 F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),
                 (F.col("gathered") < F.col("comp")).alias("changed"),
             )
-            state = drv.materialize(new_state, step)
-            active = state.where("changed").count()
+            state, m = drv.materialize_observed(
+                new_state, step, F.count(F.when(F.col("changed"), True)).alias("active")
+            )
+            active = m["active"]
             drv.log(step, active, _time.time() - t0, op="wcc_kernel")
             if active == 0:
                 break
@@ -375,8 +388,10 @@ def _wcc_kernel_auto(
                 F.least("comp", F.coalesce("gathered", "comp")).alias("comp"),
                 (F.col("gathered") < F.col("comp")).alias("changed"),
             )
-            state = drv.materialize(new_state, step)
-            active = state.where("changed").count()
+            state, m = drv.materialize_observed(
+                new_state, step, F.count(F.when(F.col("changed"), True)).alias("active")
+            )
+            active = m["active"]
             drv.log(step, active, _time.time() - t0, op="wcc_auto")
             if active == 0:
                 break

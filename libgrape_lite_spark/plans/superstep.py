@@ -110,6 +110,23 @@ class IterationDriver:
             self._commit_checkpoint(out, step)
         return out
 
+    def materialize_observed(self, df: DataFrame, step: int, *aggs):
+        """:meth:`materialize` + per-superstep scalars in the SAME job.
+
+        Attaches ``DataFrame.observe`` aggregates (termination counts,
+        convergence deltas) to the materializing action, so the loop no
+        longer pays a second count job per superstep over the cached
+        state (guide §1.2: fewer passes; r8 — measured one extra ~40-90 ms
+        job per round across wcc/sssp/bfs). Returns ``(state, metrics)``
+        where ``metrics`` is the alias→value dict; values are identical
+        to running the same aggregates over the checkpointed state.
+        """
+        from pyspark.sql import Observation
+
+        obs = Observation()
+        out = self.materialize(df.observe(obs, *aggs), step)
+        return out, obs.get
+
     def _gc(self, keep: DataFrame) -> None:
         # RDD-level release, NOT DataFrame.unpersist(): a localCheckpoint
         # pins an RDD under a LogicalRDD leaf that only an RDD-level
