@@ -295,17 +295,20 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds, del_sur
 
     if kind == "push":
         directed, weighted = key[1], key[2]
+        # repartition lambdas re-sort by the join key so patched layouts
+        # keep the build-time sort-elision property (plans/kernels.py)
         if weighted:
             touched, del_rm = _route(directed, adds, upds)
             return lambda: _patch_layout(
                 val.select("src", "dst", "weight"), merged, "pair_min", directed,
                 has_w, vids, del_rm, touched,
-                repartition=lambda df: df.repartition("src"),
+                repartition=lambda df: df.repartition("src").sortWithinPartitions("src"),
             )
         touched, del_rm = _route(directed, adds)
         return lambda: _patch_layout(
             val.select("src", "dst"), merged, "push_unw", directed, has_w,
-            vids, del_rm, touched, repartition=lambda df: df.repartition("src"),
+            vids, del_rm, touched,
+            repartition=lambda df: df.repartition("src").sortWithinPartitions("src"),
         )
     if kind == "gather":
         gkey, directed = key[1], key[2]
@@ -315,7 +318,7 @@ def _layout_patch_thunk(key, val, merged, has_w, vids, dels, upds, adds, del_sur
         return lambda: _patch_layout(
             val.select("src", "dst"), merged, "gather", directed, has_w,
             vids, del_rm, touched,
-            repartition=lambda df: df.repartition(gkey),
+            repartition=lambda df: df.repartition(gkey).sortWithinPartitions(gkey),
             storage_level=StorageLevel.MEMORY_AND_DISK if gkey == "src" else None,
         )
     if kind == "pie":

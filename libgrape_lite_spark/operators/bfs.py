@@ -173,7 +173,12 @@ def bfs(
         # round — then (b) the union of the few post-compaction frontiers,
         # which is small enough for a broadcast anti-join. Without the
         # split, every round re-shuffles the ever-growing visited union.
-        visited_big = visited.repartition("id").localCheckpoint(eager=True)
+        # id-sorted at compaction so the per-round sort-merge anti-join
+        # never re-sorts the O(V) visited side (r8, guide §2.4)
+        visited_big = (
+            visited.repartition("id").sortWithinPartitions("id")
+            .localCheckpoint(eager=True)
+        )
         n_vertices = vertices.count()
         recent: list[DataFrame] = []  # post-compaction (id, depth) deltas
         go_dense = False
@@ -185,7 +190,9 @@ def bfs(
                 merged = merged.unionByName(r)
             if extra is not None:
                 merged = merged.unionByName(extra)
-            return drv.materialize(merged.repartition("id"), step)
+            return drv.materialize(
+                merged.repartition("id").sortWithinPartitions("id"), step
+            )
 
         while max_rounds is None or step < max_rounds:
             t0 = time.time()

@@ -743,7 +743,15 @@ def push_adjacency_table(
             adj = adj.where(F.col("src") != F.col("dst")).dropDuplicates(
                 ["src", "dst"]
             )
-        return adj.repartition("src").localCheckpoint(eager=True)
+        # sorted by the join key at build: the per-superstep sort-merge
+        # join against the frontier/state otherwise re-sorts this O(E)
+        # side EVERY round; localCheckpoint preserves outputOrdering so
+        # the round plans keep only vertex-sized sorts (r8, guide §2.4)
+        return (
+            adj.repartition("src")
+            .sortWithinPartitions("src")
+            .localCheckpoint(eager=True)
+        )
 
     return cached_prepared(edges, ("push", directed, weighted), build)
 
@@ -773,11 +781,19 @@ def gather_adjacency_table(
 
         e = edges.select("src", "dst")
         a = e if directed else _undirected(e)
+        # sorted by the gather join key at build — same per-round
+        # sort-elision rationale as push_adjacency_table
         if key == "src":
-            return a.repartition("src").localCheckpoint(
-                eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK
+            return (
+                a.repartition("src")
+                .sortWithinPartitions("src")
+                .localCheckpoint(eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
             )
-        return a.repartition("dst").localCheckpoint(eager=True)
+        return (
+            a.repartition("dst")
+            .sortWithinPartitions("dst")
+            .localCheckpoint(eager=True)
+        )
 
     return cached_prepared(edges, ("gather", key, directed), build)
 
