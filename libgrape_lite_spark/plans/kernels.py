@@ -850,21 +850,30 @@ def cached_degree_table(
     mode) on one graph share a single degree pass."""
     cache = _prep_cache(edges)
     key = ("outdeg", directed)
-    ent = cache.get(key)
-    if ent is None or ent[0] is not vertices:
-        from libgrape_lite_spark.functions.edges import out_degrees
+    with _PREP_LOCK:
+        ent = cache.get(key)
+        if ent is not None and ent[0] is vertices:
+            cache.move_to_end(key)
+            return ent[1]
+    from libgrape_lite_spark.functions.edges import out_degrees
 
+    # degree job runs outside the lock (prepare_graph builds concurrently)
+    built = (vertices, out_degrees(adj, vertices).localCheckpoint(eager=True))
+    with _PREP_LOCK:
+        ent = cache.get(key)
+        if ent is not None and ent[0] is vertices:
+            # raced: keep the winner, drop this thread's duplicate blocks
+            cache.move_to_end(key)
+            _unpersist_entry(built)
+            return ent[1]
         if ent is not None and key not in cache.borrowed:
             # a different vertex frame over the same edges supersedes the
             # entry — release its pinned blocks instead of leaking them
             # (ADVICE r4); borrowed entries belong to the base table
             _unpersist_entry(ent)
         cache.borrowed.discard(key)
-        ent = (vertices, out_degrees(adj, vertices).localCheckpoint(eager=True))
-        _prep_put(cache, key, ent)
-    else:
-        cache.move_to_end(key)
-    return ent[1]
+        _prep_put(cache, key, built)
+        return built[1]
 
 
 _DEGREE_STATS_ATTR = "_lgls_degree_stats"
@@ -995,13 +1004,16 @@ def prepare_graph(
     DataFrames via each builder's memoized closure."""
     spark = edges.sparkSession
     nf = num_fragments or int(spark.conf.get("spark.sql.shuffle.partitions"))
-    bounds = cached_edge_balanced_bounds(edges, nf, key="src")
+
+    def _src_then_degree():
+        # degree depends on the src gather layout — chain them in one task
+        gsrc = gather_adjacency_table(edges, "src", directed)
+        return gsrc, cached_degree_table(edges, vertices, gsrc, directed)
 
     builders: list[tuple[str, object]] = [
-        ("pie", lambda: pie_fragment_table(edges, nf, bounds, directed=directed)),
         ("push", lambda: push_adjacency_table(edges, directed=directed, weighted=False)),
         ("push_weighted", lambda: push_adjacency_table(edges, directed=directed, weighted=True)),
-        ("gather_src", lambda: gather_adjacency_table(edges, "src", directed)),
+        ("_src_deg", _src_then_degree),
         ("gather_dst", lambda: gather_adjacency_table(edges, "dst", directed)),
     ]
     if kernel:
@@ -1014,9 +1026,16 @@ def prepare_graph(
     out: dict[str, DataFrame] = {}
     # cached_prepared serializes cache-dict mutations under _PREP_LOCK
     # while each build's Spark job runs outside it, so the jobs overlap.
+    # The bounds quantile pass (PIE's only prerequisite) runs on the main
+    # thread concurrently with the bounds-independent builds, then PIE
+    # joins the pool — nothing waits on a job it does not need.
     with ThreadPoolExecutor(max_workers=min(4, len(builders))) as pool:
         futs = {name: pool.submit(fn) for name, fn in builders}
+        bounds = cached_edge_balanced_bounds(edges, nf, key="src")
+        futs["pie"] = pool.submit(
+            lambda: pie_fragment_table(edges, nf, bounds, directed=directed)
+        )
         for name, fut in futs.items():
             out[name] = fut.result()
-    out["degree"] = cached_degree_table(edges, vertices, out["gather_src"], directed)
+    out["gather_src"], out["degree"] = out.pop("_src_deg")
     return out
