@@ -133,14 +133,22 @@ def build_graph_from_transcripts(
     wp = transients.register(_with_prev(transcripts).localCheckpoint(eager=True))
     # materialize the derived edges once — they feed both the vertex
     # dictionary (endpoints union) and the id-translation join; without
-    # this the 3-branch derivation recomputes per consumer
-    e_oid = _edges_from_prev(wp).localCheckpoint(eager=True)
+    # this the 3-branch derivation recomputes per consumer. Registered as
+    # a transient (callers checkpoint the returned tables before any
+    # release point — bench, _graph, scripts all do)
+    e_oid = transients.register(_edges_from_prev(wp).localCheckpoint(eager=True))
     endpoints = e_oid.select(F.col("src_oid").alias("oid")).unionByName(
         e_oid.select(F.col("dst_oid").alias("oid"))
     )
     # every turn is a vertex even if isolated (matches .v-file semantics)
     turns = wp.select(_turn_oid().alias("oid"))
-    vertices = encode_vertices(endpoints.unionByName(turns))
+    # materialize the dictionary once (transient): encode_edges reads it
+    # for BOTH join sides (each broadcast build executes the plan), and
+    # callers checkpoint the returned vertices again — without this the
+    # id-assignment pipeline re-ran up to 4x per build (r8, guide §2.4)
+    vertices = transients.register(
+        encode_vertices(endpoints.unionByName(turns)).localCheckpoint(eager=True)
+    )
     edges = encode_edges(e_oid, vertices, broadcast_dict=broadcast_dict)
     return vertices, edges
 
