@@ -41,6 +41,13 @@ def main() -> None:
     # ``cores`` is then the TOTAL core budget (spark.cores.max).
     master_url = sys.argv[4] if len(sys.argv) > 4 else None
 
+    # record hygiene (VERDICT r7 task 7): capture load BEFORE this leg
+    # does any work, so the quotability of the leg's start is auditable
+    try:
+        leg_loadavg_at_launch = list(os.getloadavg())
+    except OSError:
+        leg_loadavg_at_launch = []
+
     from libgrape_lite_spark import get_spark
     from libgrape_lite_spark.functions.edges import build_graph_from_transcripts
     from libgrape_lite_spark.operators import pagerank
@@ -137,6 +144,10 @@ def main() -> None:
     total = time.time() - t0
     rounds_sec = sum(m.t_ms for m in drv.metrics) / 1000.0
     setup_sec = total - rounds_sec
+    try:
+        loadavg_at_end = list(os.getloadavg())
+    except OSError:
+        loadavg_at_end = []
     print(
         json.dumps(
             {
@@ -148,6 +159,16 @@ def main() -> None:
                 "total_seconds": round(total, 2),
                 "supersteps_per_sec": round(PR_ROUNDS / rounds_sec, 3),
                 "edges_per_sec": round(2 * n_edges * PR_ROUNDS / rounds_sec, 1),
+                # record hygiene (VERDICT r7 task 7): sweep legs carry the
+                # same quotability evidence as bench rows — the load when
+                # the leg's process launched (before any of its own work;
+                # nonzero here means prior-leg or neighbor bleed-through)
+                # and at the end (the leg's own work).
+                "loadavg_at_start": leg_loadavg_at_launch,
+                "loadavg_at_end": loadavg_at_end,
+                "quotable_idle_start": bool(
+                    leg_loadavg_at_launch and leg_loadavg_at_launch[0] < 2.0
+                ),
             }
         )
     )

@@ -51,6 +51,13 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
     res = measure_scaling(n)
     print(json.dumps(res, indent=2))
+    # committed raw (record hygiene, VERDICT r7 task 7): every quoted
+    # sweep row cites one of these files, loadavgs + quotable included
+    runs = REPO / "BENCH" / "runs"
+    runs.mkdir(parents=True, exist_ok=True)
+    (runs / f"scaling_{int(time.time())}.json").write_text(
+        json.dumps({"n_conversations": n, **res}, indent=1) + "\n"
+    )
     bench_md = REPO / "BENCH" / "BASELINE.md"
     bench_md.parent.mkdir(exist_ok=True)
     lo, hi = res["local8"], res["local32"]

@@ -104,13 +104,16 @@ def main() -> None:
         kadj = dst_kernel_adjacency_table(edges, nf, False)
         deg = cached_degree_table(edges, vertices, gsrc, False)
 
-        # state shaped like a mid-loop checkpoint (id-hash partitioned)
+        # state shaped like a mid-loop checkpoint: id-hash partitioned AND
+        # id-ordered — in the real loop every round's state is the output
+        # of a sort-merge join on id, so its checkpoint carries both
         state = (
             deg.select(
                 "id", "degree",
                 F.when(F.col("degree") > 0, 1.0 / F.col("degree")).otherwise(0.1).alias("r"),
             )
             .repartition(nf, "id")
+            .sortWithinPartitions("id")
             .localCheckpoint(eager=True)
         )
 
