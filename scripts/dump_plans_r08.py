@@ -189,9 +189,18 @@ def main() -> None:
             )
         )
 
-        dist_state = spark.createDataFrame(
-            [(0, 0.0, True)], "id long, dist double, improved boolean"
-        ).localCheckpoint(eager=True)
+        # mid-loop-shaped state: id-hash partitioned + id-ordered, like the
+        # checkpoint of a real round's full-outer-join output
+        dist_state = (
+            state.select(
+                "id",
+                (F.col("id") % 100).cast("double").alias("dist"),
+                (F.col("id") % 7 == 0).alias("improved"),
+            )
+            .repartition(nf, "id")
+            .sortWithinPartitions("id")
+            .localCheckpoint(eager=True)
+        )
         frontier = dist_state.where("improved").select("id", "dist")
         cand = (
             push_w.join(frontier.withColumnRenamed("id", "src"), "src")
