@@ -16,9 +16,10 @@ distributed order-preserving zip-with-index:
    fully parallel — same machinery as a distributed sort),
 2. collect only the tiny per-partition row counts,
 3. broadcast-join the cumulative offsets and assign
-   ``id = offset[partition] + (row_number over partition-id) - 1`` — a
-   JVM window whose groups are the individual sorted partitions (never a
-   single global partition).
+   ``id = offset[partition] + position-in-partition`` — the position is
+   decoded from ``monotonically_increasing_id()`` (consecutive per
+   partition), so the assignment pass is a narrow projection over the
+   already-sorted cached partitions: no exchange, no re-sort.
 
 This mirrors the reference's fid-partitioned id space (id_parser.h packs
 fid‖lid; we keep plain longs, SURVEY.md §1.4).
@@ -39,15 +40,20 @@ def encode_vertices(oids: DataFrame, num_partitions: int | None = None) -> DataF
     """DataFrame with column ``oid`` → dictionary DataFrame(id, oid),
     ids dense 0..N-1 in oid order. Distributed (no single-partition window).
 
-    The per-partition position is assigned with a JVM window partitioned
-    by the range-partition id (each window group is one sorted partition,
-    so the sort inside the window is over already-ordered data), plus a
-    broadcast join against the tiny per-partition offset table. This
-    replaced the r1-r7 ``mapInPandas`` assignment (identical ids): the
-    graph build is the first job of a session, and the Python pass made it
-    pay the whole executor Python-worker pool spin-up + an O(V) JVM→Python
-    →JVM round trip that a window over ≤ a-partition-per-group does not
-    (guide §4.1: prefer built-ins; measured r8 in OPTIMIZATION_r08.md).
+    The per-partition position is decoded from
+    ``monotonically_increasing_id()`` — partition id in the upper bits,
+    consecutive 0-based row count in the lower 33 (the documented layout,
+    stable Spark 1.6→4.x) — evaluated directly over the cached sorted
+    partitions, plus a broadcast join against the tiny per-partition
+    offset table. Two r8 steps (guide §4.1 then §2.4, measured in
+    OPTIMIZATION_r08.md): first the r1-r7 ``mapInPandas`` assignment
+    became a JVM window over the range-partition id (identical ids, no
+    first-job Python-pool spin-up, no O(V) JVM→Python→JVM round trip);
+    then the window's own ``Exchange hashpartitioning(pid) + Sort(pid,
+    oid)`` over all V rows — paid only to re-establish an order the
+    cached partitions already have — was elided by reading the position
+    out of the row id (plan: assignment pass = scan + project +
+    broadcast join, 0 exchanges, 0 sorts).
     """
     spark = oids.sparkSession
     n = num_partitions or spark.sparkContext.defaultParallelism
@@ -76,14 +82,18 @@ def encode_vertices(oids: DataFrame, num_partitions: int | None = None) -> DataF
         acc += count_by_pid.get(pid, 0)
     off_df = spark.createDataFrame(offsets or [(0, 0)], "pid int, off long")
 
-    from pyspark.sql.window import Window
-
-    w = Window.partitionBy("pid").orderBy("oid")
+    # monotonically_increasing_id = (partition_id << 33) | row-count-in-
+    # partition; the cache scan yields each partition in its sorted order,
+    # so the low bits ARE the position of the oid within its sorted
+    # partition — the exact value the previous row_number window computed,
+    # without that window's Exchange(pid) + Sort(pid, oid) over all V rows
+    mid = F.monotonically_increasing_id()
     out = (
-        sorted_oids.withColumn("pid", F.spark_partition_id())
+        sorted_oids.select("oid", mid.alias("_mid"))
+        .withColumn("pid", F.shiftright("_mid", 33).cast("int"))
         .join(F.broadcast(off_df), "pid")
         .select(
-            (F.row_number().over(w) - 1 + F.col("off")).alias("id"),
+            (F.col("_mid").bitwiseAND(F.lit((1 << 33) - 1)) + F.col("off")).alias("id"),
             "oid",
         )
     )
