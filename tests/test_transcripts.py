@@ -85,3 +85,19 @@ def test_encode_vertices_partition_invariance(spark):
     many = {r["oid"]: r["id"] for r in encode_vertices(oids.repartition(7), num_partitions=11).collect()}
     assert one == many
     assert sorted(one.values()) == list(range(500))
+
+
+def test_encode_vertices_matches_enumerate_oracle_skewed(spark):
+    """Direct oracle for the exchange-free assignment pass (r8): the id of
+    every oid must equal its index in the sorted distinct-oid list. Skewed,
+    duplicated, multi-partition input — guards the in-partition position
+    decode (monotonically_increasing_id low bits) against any future change
+    in partition iteration order or row-id layout."""
+    from libgrape_lite_spark.functions.ids import encode_vertices
+
+    # skewed: a hot prefix repeated many times + a sparse tail
+    raw = [f"k{i % 37:03d}" for i in range(3000)] + [f"z{i:05d}" for i in range(900)]
+    oids = spark.createDataFrame([(s,) for s in raw], "oid string").repartition(13)
+    got = {r["oid"]: r["id"] for r in encode_vertices(oids, num_partitions=7).collect()}
+    expected = {s: i for i, s in enumerate(sorted(set(raw)))}
+    assert got == expected
