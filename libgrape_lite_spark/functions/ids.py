@@ -110,10 +110,22 @@ def encode_edges(
 
     ``broadcast_dict=True`` mirrors ``GlobalVertexMap`` (every worker holds
     the full map, global_vertex_map.h:69-103) — right when the dictionary
-    fits in executor memory. At 10^12-vertex scale pass ``False`` for plain
+    fits in executor memory. At 10^12-vertex scale pass ``False`` for
     shuffle joins, the ``LocalVertexMap`` analog (local_vertex_map.h:126).
+
+    The shuffle-dict joins are SHUFFLE_HASH-hinted (guide §3.1): the
+    planner's default sort-merge join pays a full string sort of both
+    sides per key — the dominant cost of the at-scale build (measured r8,
+    C=1M interleaved A/B: 3.2 s vs 7.7 s per build, 5/5 pairs,
+    OPTIMIZATION_r08.md). The build side is one dictionary partition —
+    V/shuffle_partitions rows, exactly the per-fragment id map the
+    reference's LocalVertexMap holds in memory — so the hash build is the
+    same memory class the design already commits to.
     """
-    maybe_b = F.broadcast if broadcast_dict else (lambda df: df)
+    if broadcast_dict:
+        maybe_b = F.broadcast
+    else:
+        maybe_b = lambda df: df.hint("shuffle_hash")  # noqa: E731
     src_dict = maybe_b(vertices.select(F.col("oid").alias("src_oid"), F.col("id").alias("src")))
     dst_dict = maybe_b(vertices.select(F.col("oid").alias("dst_oid"), F.col("id").alias("dst")))
     extra = [c for c in edges_oid.columns if c not in ("src_oid", "dst_oid")]

@@ -101,3 +101,20 @@ def test_encode_vertices_matches_enumerate_oracle_skewed(spark):
     got = {r["oid"]: r["id"] for r in encode_vertices(oids, num_partitions=7).collect()}
     expected = {s: i for i, s in enumerate(sorted(set(raw)))}
     assert got == expected
+
+
+def test_encode_edges_shuffle_dict_matches_broadcast(spark):
+    """LocalVertexMap path parity (r8: the shuffle-dict joins are
+    SHUFFLE_HASH-hinted): broadcast_dict=False must produce exactly the
+    broadcast path's edge table."""
+    from libgrape_lite_spark.functions.edges import build_graph_from_transcripts
+    from libgrape_lite_spark.sources.transcripts import synthesize_transcripts
+
+    t = synthesize_transcripts(spark, 60, seed=7).cache()
+    _, e_b = build_graph_from_transcripts(t, broadcast_dict=True)
+    _, e_s = build_graph_from_transcripts(t, broadcast_dict=False)
+    assert e_b.columns == e_s.columns
+    key = ["src", "dst", "weight", "etype"]
+    rows_b = sorted(tuple(r) for r in e_b.select(*key).collect())
+    rows_s = sorted(tuple(r) for r in e_s.select(*key).collect())
+    assert rows_b == rows_s
